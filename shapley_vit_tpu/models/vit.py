@@ -1,0 +1,302 @@
+"""Functional ViT with a LoRA overlay — the live-path model.
+
+TPU-native re-design of the reference's model construction
+(``shapleyserver/start.py:258-288``: HF ``ViTForImageClassification`` on
+``google/vit-base-patch16-224-in21k`` with a 4-class head, wrapped in peft LoRA
+``r=16, alpha=8, targets=[query,value], modules_to_save=[classifier]`` and
+``nn.DataParallel``). Semantics match HF ViT exactly (pre-LN encoder, erf-GELU,
+learned position embeddings incl. CLS, classifier on the CLS token) — verified
+by the parity tests in ``tests/test_vit_parity.py`` against
+``transformers.ViTForImageClassification`` + peft on random weights.
+
+Design choices for TPU:
+
+* **Params are plain pytrees**, split into a frozen ``base`` tree and a small
+  ``lora`` tree (LoRA A/B for q,v per layer + the classifier). Client deltas
+  only touch the ``lora`` tree, so coalition evaluation vmaps over stacked
+  LoRA trees while the 86M-param base stays resident once (SURVEY.md §7
+  "stacked-LoRA coalition eval memory").
+* **Blocks are stacked on a depth axis** and the encoder runs as one
+  ``lax.scan`` — one compiled block regardless of depth, fast compiles, and
+  identical math per layer maps cleanly onto the MXU.
+* **Patch embedding is a reshape + matmul**, not a conv: with stride == kernel
+  == patch size the conv is exactly a blocked matmul, which feeds the MXU
+  without XLA having to pattern-match the convolution.
+* Compute dtype is configurable (bf16 on TPU, f32 for parity runs); LayerNorm
+  statistics and softmax always accumulate in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+@dataclass(frozen=True)
+class ViTSpec:
+    """Architecture hyperparameters (HF ViTConfig equivalents)."""
+
+    hidden: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    patch: int = 16
+    image: int = 224
+    channels: int = 3
+    num_classes: int = 4
+    layernorm_eps: float = 1e-12   # HF ViTConfig default
+    # LoRA (reference start.py:274-276)
+    lora_r: int = 16
+    lora_alpha: float = 8.0
+    # numerics
+    dtype: str = "float32"         # activation/compute dtype: float32 | bfloat16
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image // self.patch) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "ViTSpec":
+        return dataclasses.replace(self, **kw)
+
+
+VIT_VARIANTS = {
+    # standard ViT family (reference live path uses 'base'; BASELINE.json
+    # configs also exercise tiny/small/large)
+    "tiny": dict(hidden=192, depth=12, heads=3, mlp_dim=768),
+    "small": dict(hidden=384, depth=12, heads=6, mlp_dim=1536),
+    "base": dict(hidden=768, depth=12, heads=12, mlp_dim=3072),
+    "large": dict(hidden=1024, depth=24, heads=16, mlp_dim=4096),
+    # micro: CI-sized fixture for fast tests
+    "micro": dict(hidden=32, depth=2, heads=2, mlp_dim=64, patch=4, image=16),
+}
+
+
+def make_spec(variant: str = "base", **overrides) -> ViTSpec:
+    return ViTSpec(**{**VIT_VARIANTS[variant], **overrides})
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_vit(key: jax.Array, spec: ViTSpec) -> PyTree:
+    """Initialize the frozen base tree (HF-equivalent init distributions).
+
+    Layout: encoder-block leaves carry a leading depth axis [L, ...] so the
+    encoder can run as a single ``lax.scan``.
+    """
+    D, L, M = spec.hidden, spec.depth, spec.mlp_dim
+    P, C = spec.patch, spec.channels
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, din, dout, layers=None):
+        shape = (din, dout) if layers is None else (layers, din, dout)
+        bshape = (dout,) if layers is None else (layers, dout)
+        return {"kernel": _trunc_normal(k, shape), "bias": jnp.zeros(bshape, jnp.float32)}
+
+    return {
+        "patch_embed": dense(next(keys), P * P * C, D),
+        "cls_token": _trunc_normal(next(keys), (1, 1, D)),
+        "pos_embed": _trunc_normal(next(keys), (1, spec.seq_len, D)),
+        "blocks": {
+            "ln1": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+            "attn": {
+                "q": dense(next(keys), D, D, L),
+                "k": dense(next(keys), D, D, L),
+                "v": dense(next(keys), D, D, L),
+                "out": dense(next(keys), D, D, L),
+            },
+            "ln2": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+            "mlp": {
+                "fc1": dense(next(keys), D, M, L),
+                "fc2": dense(next(keys), M, D, L),
+            },
+        },
+        "final_ln": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+        "classifier": dense(next(keys), D, spec.num_classes),
+    }
+
+
+def init_lora(key: jax.Array, spec: ViTSpec, classifier_from: Optional[PyTree] = None) -> PyTree:
+    """Initialize the trainable overlay: LoRA A/B for q,v in every block plus
+    the classifier head (peft ``modules_to_save=['classifier']`` semantics —
+    the head is fully trainable, reference start.py:276).
+
+    peft init: A ~ kaiming-uniform, B = 0 so the overlay starts as identity.
+    Our layout is x @ A @ B with A:[D,r], B:[r,D] (peft stores A:[r,in],
+    B:[out,r]; ``torch_lora_to_tree`` in fl/ingestion handles the transpose).
+    """
+    D, L, r = spec.hidden, spec.depth, spec.lora_r
+    ka, kb = jax.random.split(key)
+
+    def kaiming_uniform(k, shape, fan_in):
+        bound = jnp.sqrt(6.0 / fan_in)
+        return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+    lora = {
+        "q": {"A": kaiming_uniform(ka, (L, D, r), D), "B": jnp.zeros((L, r, D))},
+        "v": {"A": kaiming_uniform(kb, (L, D, r), D), "B": jnp.zeros((L, r, D))},
+    }
+    if classifier_from is not None:
+        classifier = jax.tree.map(jnp.copy, classifier_from["classifier"])
+    else:
+        classifier = {
+            "kernel": jnp.zeros((D, spec.num_classes), jnp.float32),
+            "bias": jnp.zeros((spec.num_classes,), jnp.float32),
+        }
+    return {"lora": lora, "classifier": classifier}
+
+
+def trainable_params(lora_tree: PyTree) -> int:
+    return sum(x.size for x in jax.tree.leaves(lora_tree))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps):
+    # f32 statistics regardless of compute dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _patchify(images: jax.Array, patch: int) -> jax.Array:
+    """[B,H,W,C] -> [B, N, patch*patch*C] with HF ordering.
+
+    HF's Conv2d patch embedding contracts over (C, ph, pw) with kernel layout
+    [D, C, ph, pw]; flattening our patches as (ph, pw, C) and transposing the
+    kernel to [ph*pw*C, D] in the converter keeps the two paths bit-compatible.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def _attention(x, attn_p, lora_p, spec: ViTSpec):
+    """Multi-head self-attention with the LoRA overlay folded into q,v.
+
+    q = x·Wq + bq + scaling·(x·Aq)·Bq  — the low-rank path is two skinny
+    matmuls, never materializing the [D,D] delta (peft's forward semantics).
+    """
+    B, N, D = x.shape
+    h, hd = spec.heads, spec.head_dim
+    scaling = spec.lora_alpha / spec.lora_r
+
+    def proj(p, name):
+        y = x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+        if lora_p is not None and name in lora_p:
+            a = lora_p[name]["A"].astype(x.dtype)
+            b = lora_p[name]["B"].astype(x.dtype)
+            y = y + (x @ a) @ b * jnp.asarray(scaling, x.dtype)
+        return y
+
+    q = proj(attn_p["q"], "q").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    k = proj(attn_p["k"], "k").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    v = proj(attn_p["v"], "v").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
+        jnp.sqrt(jnp.float32(hd)), x.dtype
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+    return ctx @ attn_p["out"]["kernel"].astype(x.dtype) + attn_p["out"]["bias"].astype(x.dtype)
+
+
+def _block(x, blk_p, lora_p, spec: ViTSpec):
+    """Pre-LN transformer block (HF ViTLayer)."""
+    eps = spec.layernorm_eps
+    y = _layer_norm(x, blk_p["ln1"]["scale"], blk_p["ln1"]["bias"], eps)
+    x = x + _attention(y, blk_p["attn"], lora_p, spec)
+    y = _layer_norm(x, blk_p["ln2"]["scale"], blk_p["ln2"]["bias"], eps)
+    y = y @ blk_p["mlp"]["fc1"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc1"]["bias"].astype(x.dtype)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)  # HF exact GELU
+    y = y @ blk_p["mlp"]["fc2"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc2"]["bias"].astype(x.dtype)
+    return x + y
+
+
+def vit_forward(
+    base: PyTree,
+    lora: Optional[PyTree],
+    images: jax.Array,
+    spec: ViTSpec,
+) -> jax.Array:
+    """ViT forward pass -> logits [B, num_classes].
+
+    Equivalent of the reference's ``net(img).logits`` hot leaf
+    (utils.py:887 via HF ViTForImageClassification). ``lora=None`` runs the
+    plain base model; otherwise the LoRA q/v overlay and the overlay's
+    classifier head are applied (peft ``modules_to_save`` replaces the head).
+    """
+    dt = spec.compute_dtype
+    x = _patchify(images.astype(dt), spec.patch)
+    x = x @ base["patch_embed"]["kernel"].astype(dt) + base["patch_embed"]["bias"].astype(dt)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(base["cls_token"].astype(dt), (B, 1, spec.hidden))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + base["pos_embed"].astype(dt)
+
+    blocks = base["blocks"]
+    lora_blocks = lora["lora"] if lora is not None else None
+
+    # one compiled block, scanned over the stacked depth axis
+    if lora_blocks is None:
+        x, _ = jax.lax.scan(lambda c, bp: (_block(c, bp, None, spec), None), x, blocks)
+    else:
+        x, _ = jax.lax.scan(
+            lambda c, ps: (_block(c, ps[0], ps[1], spec), None), x, (blocks, lora_blocks)
+        )
+
+    x = _layer_norm(x, base["final_ln"]["scale"], base["final_ln"]["bias"], spec.layernorm_eps)
+    cls_repr = x[:, 0]
+    head = lora["classifier"] if lora is not None else base["classifier"]
+    logits = cls_repr @ head["kernel"].astype(dt) + head["bias"].astype(dt)
+    return logits.astype(jnp.float32)
+
+
+def merge_lora(base: PyTree, lora: PyTree, spec: ViTSpec) -> PyTree:
+    """Fold the LoRA overlay into a standalone base tree
+    (peft ``merge_and_unload`` equivalent): Wq += scaling·A@B, head replaced."""
+    scaling = spec.lora_alpha / spec.lora_r
+    merged = jax.tree.map(lambda x: x, base)  # shallow functional copy
+    attn = dict(merged["blocks"]["attn"])
+    for name in ("q", "v"):
+        delta = jnp.einsum(
+            "ldr,lre->lde", lora["lora"][name]["A"], lora["lora"][name]["B"],
+            precision="highest",
+        ) * scaling
+        attn[name] = {"kernel": attn[name]["kernel"] + delta, "bias": attn[name]["bias"]}
+    blocks = dict(merged["blocks"])
+    blocks["attn"] = attn
+    merged = dict(merged)
+    merged["blocks"] = blocks
+    merged["classifier"] = jax.tree.map(jnp.copy, lora["classifier"])
+    return merged

@@ -6,17 +6,25 @@ Must run before any jax import (SURVEY.md §4: multi-host logic tested with
 
 import os
 
-# Force-assign (not setdefault): the container exports JAX_PLATFORMS=axon to
-# point at the real TPU; unit tests always run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The container's sitecustomize registers the axon TPU backend at interpreter
+# start and programmatically sets jax_platforms="axon,cpu", which overrides the
+# env var — force the config back to cpu before any jax computation runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual devices for mesh tests"
 
 
 @pytest.fixture
