@@ -1,0 +1,154 @@
+"""Validation-set evaluation: the hot path.
+
+Reference equivalent: ``evaluation(args, net, eval_loader)``
+(federated_learning/utils.py:864-926) — per 128-batch ``net(img).logits`` →
+argmax-accuracy count + sum-reduction cross-entropy, both normalized by the
+*dataset* size at the end (utils.py:924-926).
+
+TPU-first inversions (SURVEY.md §7):
+  * gradients are never retained (the reference forgets ``torch.no_grad()`` on
+    the live branch — a memory bug we do not replicate);
+  * the correct/loss accumulators stay on device across batches (the reference
+    calls ``.item()`` per batch, utils.py:891-894);
+  * the *coalition-batched* evaluator vmaps the forward over stacked LoRA
+    trees, turning the reference's serial coalition loop into one pass.
+
+API note: model parameters are always threaded as ARGUMENTS of the jitted
+step, never captured by closure — closed-over arrays become compile-time
+constants embedded in the HLO, which for an 86M-param ViT base inflates the
+compile payload by ~343MB (and overflows remote-compile request limits).
+``forward_fn`` therefore takes the shared (frozen) tree and the per-coalition
+(varying) tree separately.
+
+The NaN guard mirrors utils.py:918-922 (which dumps all parameters and
+raises): we raise with the offending coalition indices instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+
+
+def eval_step_metrics(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-batch (correct_count, ce_loss_sum), both f32 scalars on device.
+
+    CE matches torch ``CrossEntropyLoss(reduction='sum')`` (utils.py:873):
+    sum over batch of -log_softmax(logits)[label], computed in f32.
+    """
+    logits = logits.astype(jnp.float32)
+    correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return correct.astype(jnp.float32), jnp.sum(nll)
+
+
+def evaluate_model(
+    forward_fn: Callable[[PyTree, jax.Array], jax.Array],
+    params: PyTree,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    dataset_size: Optional[int] = None,
+) -> Tuple[float, float]:
+    """Single-model evaluation -> (accuracy, mean_loss).
+
+    ``forward_fn(params, images) -> logits``; ``params`` is an arbitrary
+    pytree passed through jit as an argument (e.g. a ``(base, lora)`` tuple).
+    ``batches`` yields (images, labels). Accumulators stay on device; one
+    host transfer at the end. Normalization is by ``dataset_size`` (the
+    reference divides by ``len(eval_loader.dataset)``, utils.py:924-926);
+    defaults to the number of examples seen.
+    """
+    step = jax.jit(lambda p, x, y: eval_step_metrics(forward_fn(p, x), y))
+    correct = jnp.zeros((), jnp.float32)
+    loss = jnp.zeros((), jnp.float32)
+    seen = 0
+    for images, labels in batches:
+        c, l = step(params, images, labels)
+        correct = correct + c
+        loss = loss + l
+        seen += len(labels)
+    n = dataset_size if dataset_size is not None else seen
+    acc = float(correct) / n
+    mean_loss = float(loss) / n
+    if np.isnan(mean_loss):
+        # reference NaN guard (utils.py:918-922)
+        raise FloatingPointError(f"NaN validation loss (acc={acc}, n={n})")
+    return acc, mean_loss
+
+
+def make_coalition_evaluator(
+    forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
+    coalition_chunk: int = 0,
+):
+    """Build the batched primitive: evaluate C coalition models in one pass.
+
+    ``forward_fn(shared, varying, images) -> logits`` runs ONE coalition's
+    model; ``shared`` is the frozen base tree (passed once, never stacked),
+    ``varying`` is the per-coalition tree (LoRA + classifier for the live
+    config). The returned evaluator vmaps over a stacked ``varying`` pytree
+    (leading coalition axis on every leaf — typically produced by
+    ``ops.materialize_coalitions``).
+
+    Returns ``evaluate(shared, stacked_varying, batches, dataset_size=None)
+    -> np.ndarray [C, 2]`` of (accuracy, mean_loss) rows — the TPU
+    replacement for the reference's one-validation-pass-per-coalition loop
+    (game2.py:106-110 under utils_shapley.py:284-301).
+
+    ``coalition_chunk > 0`` chunks the coalition axis to bound memory for
+    full-delta (non-LoRA) configs (SURVEY.md §7 "hard parts"); with chunking,
+    pass ``batches`` as a list or a () -> iterable factory, not a one-shot
+    generator.
+    """
+    vstep = jax.vmap(
+        lambda s, p, x, y: eval_step_metrics(forward_fn(s, p, x), y),
+        in_axes=(None, 0, None, None),
+    )
+    jstep = jax.jit(vstep)
+
+    def evaluate(
+        shared: PyTree,
+        stacked_varying: PyTree,
+        batches,
+        dataset_size: Optional[int] = None,
+    ) -> np.ndarray:
+        C = jax.tree.leaves(stacked_varying)[0].shape[0]
+
+        def run_chunk(params_chunk):
+            cc = jax.tree.leaves(params_chunk)[0].shape[0]
+            correct = jnp.zeros((cc,), jnp.float32)
+            loss = jnp.zeros((cc,), jnp.float32)
+            seen = 0
+            for images, labels in batches() if callable(batches) else batches:
+                c, l = jstep(shared, params_chunk, images, labels)
+                correct = correct + c
+                loss = loss + l
+                seen += len(labels)
+            return correct, loss, seen
+
+        if coalition_chunk and C > coalition_chunk:
+            outs = []
+            for s in range(0, C, coalition_chunk):
+                chunk = jax.tree.map(
+                    lambda leaf: leaf[s : s + coalition_chunk], stacked_varying
+                )
+                outs.append(run_chunk(chunk))
+            correct = jnp.concatenate([o[0] for o in outs])
+            loss = jnp.concatenate([o[1] for o in outs])
+            seen = outs[0][2]
+        else:
+            correct, loss, seen = run_chunk(stacked_varying)
+
+        n = dataset_size if dataset_size is not None else seen
+        acc = np.asarray(correct) / n
+        mean_loss = np.asarray(loss) / n
+        if np.isnan(mean_loss).any():
+            bad = np.nonzero(np.isnan(mean_loss))[0].tolist()
+            raise FloatingPointError(f"NaN validation loss for coalitions {bad}")
+        return np.stack([acc, mean_loss], axis=1)
+
+    return evaluate

@@ -1,0 +1,20 @@
+"""Contribution / Shapley layer (reference fed_client_contribution/).
+
+``Game`` caches coalition utilities and drives ONE batched coalition-eval
+primitive; estimators sample coalitions first, batch-evaluate the distinct
+ones, then do the scoring arithmetic on the host.
+"""
+
+from shapley_vit_tpu.shapley.game import Game, TabularGame  # noqa: F401
+from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
+    call_shapley_computation_method,
+    powerset,
+    ncr,
+    shapley_exact,
+    shapley_exact_own,
+    shapley_monte_carlo,
+    shapley_comp_contrib,
+    split_permutation,
+    split_permutation_num,
+    split_num,
+)

@@ -1,0 +1,277 @@
+"""Shapley-value estimators.
+
+Reference: ``fed_client_contribution/utils_shapley.py``. Each estimator keeps
+the reference's exact sampling distribution and scoring arithmetic, but runs
+in two phases: (1) draw every sample with an explicit PRNG and collect the
+distinct coalitions, (2) ONE batched ``game.precompute`` call evaluates them
+all, (3) host-side numpy does the scoring against the filled memo. The
+reference evaluates serially inside its sampling loops
+(utils_shapley.py:284-301) — phase 2 is the TPU speedup.
+
+RNG: the reference uses unseeded ``np.random.RandomState(None)`` +
+module-global ``random`` (utils_shapley.py:278,286). We thread an explicit
+``np.random.Generator`` (SURVEY.md §7 "estimator RNG semantics") while keeping
+the same distributions (uniform permutation shuffle; split point j uniform on
+[1, n] inclusive).
+
+Estimators never share mutable state: ``game.default_shapley_value`` returns a
+fresh structure (the reference's in-place aliasing at utils_shapley.py:254 is
+a bug not replicated).
+"""
+
+from __future__ import annotations
+
+import operator as op
+from functools import reduce
+from itertools import chain, combinations
+from math import factorial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from shapley_vit_tpu.shapley.game import Game
+
+
+# ---------------------------------------------------------------------------
+# helpers (reference utils_shapley.py:141-152, 214-331)
+# ---------------------------------------------------------------------------
+
+def powerset(iterable) -> Dict[tuple, int]:
+    """Non-empty subsets, sorted tuples -> enumeration index
+    (utils_shapley.py:141-144)."""
+    s = list(iterable)
+    l = chain.from_iterable(combinations(s, r) for r in range(1, len(s) + 1))
+    return {tuple(sorted(tmp)): i for i, tmp in enumerate(l)}
+
+
+def ncr(n: int, r: int) -> int:
+    """Binomial coefficient (utils_shapley.py:148-152)."""
+    r = min(r, n - r)
+    numer = reduce(op.mul, range(n, n - r, -1), 1)
+    denom = reduce(op.mul, range(1, r + 1), 1)
+    return numer // denom
+
+
+def split_permutation(m: int, num: int) -> List[List[int]]:
+    """Partition range(m) into ``num`` near-equal chunks
+    (utils_shapley.py:214-231) — kept for sharding Monte-Carlo sample budgets
+    across hosts (SURVEY.md §2.3)."""
+    assert m > 0
+    quotient, remainder = divmod(m, num)
+    out, r = [], []
+    for i in range(m):
+        r.append(i)
+        if (remainder > 0 and len(r) == quotient + 1) or (
+            remainder <= 0 and len(r) == quotient
+        ):
+            remainder -= 1
+            out.append(r)
+            r = []
+    return out
+
+
+def split_permutation_num(m: int, num: int) -> np.ndarray:
+    """Chunk sizes of :func:`split_permutation` (utils_shapley.py:234-245)."""
+    assert m > 0
+    quotient, remainder = divmod(m, num)
+    if remainder > 0:
+        arr = [quotient] * (num - remainder) + [quotient + 1] * remainder
+    else:
+        arr = [quotient] * num
+    return np.asarray(arr)
+
+
+def split_num(m_list: Sequence[int], num: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Column-stacked chunking of several budgets (utils_shapley.py:303-328)."""
+    rng = rng or np.random.default_rng()
+    cols = None
+    for m in m_list:
+        assert m >= 0
+        if m != 0:
+            quotient, remainder = divmod(int(m), num)
+            if remainder > 0:
+                arr = [[quotient]] * (num - remainder) + [[quotient + 1]] * remainder
+                arr = list(arr)
+                rng.shuffle(arr)
+            else:
+                arr = [[quotient]] * num
+        else:
+            arr = [[0]] * num
+        cols = arr if cols is None else np.concatenate((cols, arr), axis=-1)
+    return np.asarray(cols)
+
+
+def _merge_with_default(game: Game, sv_arrays: List[np.ndarray]) -> List[Dict[int, float]]:
+    """Map per-selected-client arrays onto the full client-id dict, keeping
+    default (zero) SV for non-selected clients (utils_shapley.py:355-360)."""
+    out = game.default_shapley_value
+    for i in range(game.utility_dim):
+        for idx, client_id in enumerate(game.selected_clients):
+            out[i][client_id] = float(sv_arrays[i][idx])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact estimators
+# ---------------------------------------------------------------------------
+
+def shapley_exact(game: Game) -> List[Dict[int, float]]:
+    """Exact SV, factorial-coefficient form over the powerset
+    (utils_shapley.py:185-203): φ_j += |S|!-style coef·u(S) for members,
+    −coef·u(S) for non-members."""
+    participants = list(game.selected_clients)
+    n = game.n
+    sets = list(powerset(participants))
+    game.precompute(sets)  # ONE batched evaluation of all 2^n − 1 coalitions
+
+    coef = {s: factorial(s) * factorial(n - s - 1) / factorial(n) for s in range(n)}
+    shapley_value = game.default_shapley_value
+    for S in sets:
+        u = game.eval_utility(S)
+        for i in range(game.utility_dim):
+            for j in S:
+                shapley_value[i][j] += coef[len(S) - 1] * u[i]
+            for j in set(participants) - set(S):
+                shapley_value[i][j] -= coef[len(S)] * u[i]
+    return shapley_value
+
+
+def shapley_exact_own(game: Game) -> List[Dict[int, float]]:
+    """Exact SV, marginal-contribution form (utils_shapley.py:156-182)."""
+    n = game.n
+    participants = list(game.selected_clients)
+    game.precompute(list(powerset(participants)))
+    shapley_value = game.default_shapley_value
+    for client_id in participants:
+        others = [c for c in participants if c != client_id]
+        for s in powerset(others):
+            v1 = game.eval_utility(s)
+            v2 = game.eval_utility(list(s) + [client_id])
+            for i in range(game.utility_dim):
+                shapley_value[i][client_id] += (v2[i] - v1[i]) / ncr(n - 1, len(s))
+        v = game.eval_utility([client_id])
+        for i in range(game.utility_dim):
+            shapley_value[i][client_id] += v[i]
+            shapley_value[i][client_id] /= n
+    return shapley_value
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo estimators
+# ---------------------------------------------------------------------------
+
+def shapley_monte_carlo(
+    game: Game, m: int, rng: Optional[np.random.Generator] = None
+) -> List[Dict[int, float]]:
+    """Permutation Monte-Carlo (utils_shapley.py:248-269): m permutations,
+    credit marginal contributions along each prefix chain."""
+    rng = rng or np.random.default_rng()
+    n = game.n
+    idxs = np.array(game.selected_clients)
+
+    # phase 1: draw all permutations up front
+    perms = [rng.permutation(idxs) for _ in range(m)]
+    # phase 2: one batched eval of every distinct prefix coalition
+    game.precompute([perm[:j] for perm in perms for j in range(1, n + 1)])
+
+    # phase 3: scoring (identical arithmetic to the reference loop)
+    shapley_value = game.default_shapley_value
+    for perm in perms:
+        old_u = [0.0] * game.utility_dim
+        for j in range(1, n + 1):
+            temp_u = game.eval_utility(perm[:j])
+            for i in range(game.utility_dim):
+                shapley_value[i][perm[j - 1]] += temp_u[i] - old_u[i]
+                old_u[i] = temp_u[i]
+    for i in range(game.utility_dim):
+        for j in idxs:
+            shapley_value[i][j] /= m
+    return shapley_value
+
+
+def _cc_samples(n: int, m: int, rng: np.random.Generator):
+    """Draw the complementary-contribution samples: (shuffled index array,
+    split point j uniform on [1, n]) — reference utils_shapley.py:284-287."""
+    samples = []
+    for _ in range(m):
+        idxs = rng.permutation(n)
+        j = int(rng.integers(1, n + 1))
+        samples.append((idxs, j))
+    return samples
+
+
+def shapley_comp_contrib(
+    game: Game, m: int, proc_num: int = 1, rng: Optional[np.random.Generator] = None
+) -> List[Dict[int, float]]:
+    """Complementary-contribution estimator (the live-path default;
+    utils_shapley.py:273-362 ``_cc_shap_task`` + ``shapley_comp_contrib``).
+
+    Sample permutation + split point j; evaluate U(S) and U(N∖S); credit
+    ±(u1−u2) to the members at stratum j and the complement at stratum n−j;
+    per-stratum mean, sum over strata, ÷ n.
+    """
+    if proc_num < 0:
+        raise ValueError("Invalid proc num.")
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+    samples = _cc_samples(n, m, rng)
+
+    # ONE batched eval of every distinct S and complement
+    coalitions = []
+    for idxs, j in samples:
+        coalitions.append(selected[idxs[:j]])
+        coalitions.append(selected[idxs[j:]])
+    game.precompute(coalitions)
+
+    utility = [np.zeros((n + 1, n)) for _ in range(game.utility_dim)]
+    count = np.zeros((n + 1, n))
+    for idxs, j in samples:
+        u_1 = game.eval_utility(selected[idxs[:j]])
+        u_2 = game.eval_utility(selected[idxs[j:]])
+        temp = np.zeros(n)
+        temp[idxs[:j]] = 1
+        count[j, :] += temp
+        for i in range(game.utility_dim):
+            utility[i][j, :] += temp * (u_1[i] - u_2[i])
+        temp = np.zeros(n)
+        temp[idxs[j:]] = 1
+        count[n - j, :] += temp
+        for i in range(game.utility_dim):
+            utility[i][n - j, :] += temp * (u_2[i] - u_1[i])
+
+    sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    for i in range(n + 1):
+        for j in range(n):
+            for k in range(game.utility_dim):
+                if count[i][j] != 0:
+                    sv[k][j] += utility[k][i][j] / count[i][j]
+    for i in range(game.utility_dim):
+        sv[i] /= n
+    return _merge_with_default(game, sv)
+
+
+# ---------------------------------------------------------------------------
+# driver entry (utils_shapley.py:13-51)
+# ---------------------------------------------------------------------------
+
+def call_shapley_computation_method(
+    args, game: Game, logger=None, rng: Optional[np.random.Generator] = None
+) -> List[Dict[int, float]]:
+    """The live-path entry: method pinned to comp_contrib with m = 50·n
+    (utils_shapley.py:13-17); logs per-dim SV sums as the efficiency-axiom
+    sanity print (utils_shapley.py:50)."""
+    if isinstance(args, dict):
+        args["approximation_method"] = "comp_contrib"
+    m = 50 * game.n
+    shapley_value = shapley_comp_contrib(game, m, rng=rng)
+    msg = f"Comp contrib: {shapley_value}"
+    sums = [sum(shapley_value[i].values()) for i in range(game.utility_dim)]
+    sums_msg = f"Shapley value sum for each utility: {sums}"
+    if logger is not None:
+        logger.info(msg)
+        logger.info(sums_msg)
+    else:
+        print(msg)
+        print(sums_msg)
+    return shapley_value

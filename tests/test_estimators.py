@@ -1,0 +1,171 @@
+"""Estimator tests against closed-form games (SURVEY.md §4's test strategy —
+far beyond the reference, which has no tests).
+
+Oracles:
+  * additive game u(S) = Σ_{i∈S} v_i  ⇒  exact SV = v_i
+  * symmetric game  ⇒  equal SV (symmetry axiom)
+  * efficiency axiom: Σ_j φ_j = u(N) − u(∅)
+  * dummy player: u(S∪{d}) = u(S)  ⇒  φ_d = 0
+"""
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.shapley import (
+    Game,
+    TabularGame,
+    call_shapley_computation_method,
+    ncr,
+    powerset,
+    shapley_comp_contrib,
+    shapley_exact,
+    shapley_exact_own,
+    shapley_monte_carlo,
+    split_num,
+    split_permutation,
+    split_permutation_num,
+)
+from shapley_vit_tpu.shapley.game import additive_table
+
+
+def sv_arrays(sv, n, dim=2):
+    return np.array([[sv[i][j] for j in range(n)] for i in range(dim)])
+
+
+@pytest.fixture
+def additive_game():
+    values = np.array([[1.0, -0.5], [2.0, 0.25], [3.0, 1.0]])
+    return TabularGame(additive_table(values), n_all=3), values
+
+
+def test_exact_matches_additive_closed_form(additive_game):
+    game, values = additive_game
+    sv = shapley_exact(game)
+    np.testing.assert_allclose(sv_arrays(sv, 3), values.T, atol=1e-10)
+
+
+def test_exact_own_matches_exact(additive_game):
+    game, values = additive_game
+    sv = shapley_exact_own(game)
+    np.testing.assert_allclose(sv_arrays(sv, 3), values.T, atol=1e-10)
+
+
+def test_exact_on_general_game_axioms():
+    # arbitrary (non-additive) 4-player game, dim=2
+    rng = np.random.default_rng(3)
+    n = 4
+    table = {}
+    for s in powerset(range(n)):
+        table[frozenset(s)] = rng.normal(size=2)
+    game = TabularGame(table, n_all=n)
+    sv = sv_arrays(shapley_exact(game), n)
+    # efficiency: sum of SV == u(N) - u(empty)=u(N)
+    grand = np.asarray(table[frozenset(range(n))])
+    np.testing.assert_allclose(sv.sum(axis=1), grand, atol=1e-10)
+    # cross-check both exact forms agree on a general game
+    sv2 = sv_arrays(shapley_exact_own(game), n)
+    np.testing.assert_allclose(sv, sv2, atol=1e-10)
+
+
+def test_dummy_player_gets_zero():
+    # player 2 contributes nothing to any coalition
+    values = np.array([[1.0, 2.0], [4.0, -1.0], [0.0, 0.0]])
+    game = TabularGame(additive_table(values), n_all=3)
+    sv = sv_arrays(shapley_exact(game), 3)
+    np.testing.assert_allclose(sv[:, 2], 0.0, atol=1e-12)
+
+
+def test_symmetry_axiom():
+    values = np.array([[2.0, 1.0], [2.0, 1.0], [5.0, 0.0]])
+    game = TabularGame(additive_table(values), n_all=3)
+    sv = sv_arrays(shapley_exact(game), 3)
+    np.testing.assert_allclose(sv[:, 0], sv[:, 1], atol=1e-12)
+
+
+def test_monte_carlo_converges_to_exact(additive_game):
+    game, values = additive_game
+    sv = shapley_monte_carlo(game, m=400, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(sv_arrays(sv, 3), values.T, atol=1e-7)
+    # additive game: every permutation gives the same marginals, so even
+    # small m is exact — use a general game for a real convergence check
+    rng = np.random.default_rng(5)
+    table = {frozenset(s): rng.normal(size=2) for s in powerset(range(3))}
+    g = TabularGame(table, n_all=3)
+    exact = sv_arrays(shapley_exact(g), 3)
+    approx = sv_arrays(shapley_monte_carlo(g, m=3000, rng=np.random.default_rng(1)), 3)
+    np.testing.assert_allclose(approx, exact, atol=0.1)
+
+
+def test_comp_contrib_converges_on_additive(additive_game):
+    # comp-contrib is unbiased but has finite-sample variance even on
+    # additive games; seeded rng keeps this deterministic
+    game, values = additive_game
+    sv = shapley_comp_contrib(game, m=5000, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(sv_arrays(sv, 3), values.T, atol=0.05)
+
+
+def test_comp_contrib_converges_on_general_game():
+    rng = np.random.default_rng(11)
+    table = {frozenset(s): rng.normal(size=2) for s in powerset(range(4))}
+    g = TabularGame(table, n_all=4)
+    exact = sv_arrays(shapley_exact(g), 4)
+    est = sv_arrays(
+        shapley_comp_contrib(g, m=20000, rng=np.random.default_rng(2)), 4
+    )
+    np.testing.assert_allclose(est, exact, atol=0.15)
+
+
+def test_batched_precompute_counts_distinct_evals(additive_game):
+    game, _ = additive_game
+    shapley_exact(game)
+    assert game.num_evaluations == 7  # 2^3 - 1 distinct coalitions, once each
+    shapley_exact_own(game)  # fully memoized — no new evals
+    assert game.num_evaluations == 7
+
+
+def test_estimators_do_not_share_state(additive_game):
+    game, values = additive_game
+    sv1 = shapley_monte_carlo(game, m=50, rng=np.random.default_rng(0))
+    sv2 = shapley_exact(game)
+    # the reference's aliasing bug would leak sv1's sums into sv2
+    np.testing.assert_allclose(sv_arrays(sv2, 3), values.T, atol=1e-10)
+
+
+def test_non_selected_clients_keep_default_sv():
+    values = np.array([[1.0, 0.5], [2.0, 0.5], [3.0, 0.5]])
+    table = additive_table(values)
+    # only clients {0, 2} participate this round
+    game = TabularGame(
+        {k: v for k, v in table.items() if 1 not in k},
+        n_all=3,
+        client_selection_vector=[True, False, True],
+    )
+    sv = shapley_comp_contrib(game, m=4000, rng=np.random.default_rng(0))
+    assert sv[0][1] == 0.0 and sv[1][1] == 0.0
+    np.testing.assert_allclose(sv[0][0], 1.0, atol=0.05)
+    np.testing.assert_allclose(sv[0][2], 3.0, atol=0.05)
+
+
+def test_call_shapley_computation_method_shape(additive_game, capsys):
+    game, values = additive_game
+    args = {}
+    sv = call_shapley_computation_method(args, game, None, rng=np.random.default_rng(0))
+    assert args["approximation_method"] == "comp_contrib"
+    assert len(sv) == 2 and set(sv[0]) == {0, 1, 2}
+    out = capsys.readouterr().out
+    assert "Comp contrib" in out and "Shapley value sum" in out
+    # near-efficiency on the printed sums: Σφ ≈ u(N) (finite-sample, m=150)
+    np.testing.assert_allclose(
+        [sum(sv[i].values()) for i in range(2)], values.sum(axis=0), atol=0.3
+    )
+
+
+def test_helper_parity_with_reference():
+    assert ncr(5, 2) == 10 and ncr(6, 0) == 1
+    ps = powerset([0, 1, 2])
+    assert len(ps) == 7 and (0, 2) in ps
+    # reference greedy split: big chunks first (utils_shapley.py:214-231)
+    assert split_permutation(7, 3) == [[0, 1, 2], [3, 4], [5, 6]]
+    np.testing.assert_array_equal(split_permutation_num(7, 3), [2, 2, 3])
+    out = split_num([7, 4], 3, rng=np.random.default_rng(0))
+    assert out.shape == (3, 2) and out[:, 0].sum() == 7 and out[:, 1].sum() == 4

@@ -1,0 +1,100 @@
+"""Evaluation-primitive tests: single-model eval parity with torch CE
+semantics, and the coalition-batched evaluator vs. serial evaluation."""
+
+import jax
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.fl import evaluation as ev
+from shapley_vit_tpu.models import vit as jvit
+from shapley_vit_tpu.ops import tree_math as tm
+
+
+def batches_of(images, labels, bs):
+    return [
+        (images[i : i + bs], labels[i : i + bs]) for i in range(0, len(labels), bs)
+    ]
+
+
+def test_eval_step_metrics_matches_torch_ce(rng):
+    torch = pytest.importorskip("torch")
+    logits = rng.normal(size=(16, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, size=16)
+    correct, loss = ev.eval_step_metrics(np.asarray(logits), np.asarray(labels))
+    tl = torch.nn.CrossEntropyLoss(reduction="sum")(
+        torch.from_numpy(logits), torch.from_numpy(labels.astype(np.int64))
+    )
+    # reference: criterion = CrossEntropyLoss(reduction='sum') (utils.py:873)
+    np.testing.assert_allclose(float(loss), float(tl), rtol=1e-6)
+    assert float(correct) == (logits.argmax(1) == labels).sum()
+
+
+def test_evaluate_model_normalizes_by_dataset_size(rng):
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    images = rng.normal(size=(10, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=10)
+    # params threaded as a jit argument, not a closure
+    fwd = lambda p, x: jvit.vit_forward(p, None, x, spec)
+    acc, loss = ev.evaluate_model(fwd, base, batches_of(images, labels, 4))
+    assert 0.0 <= acc <= 1.0 and loss > 0
+    # uneven final batch (10 = 4+4+2) must still normalize by 10
+    acc2, loss2 = ev.evaluate_model(fwd, base, batches_of(images, labels, 3), dataset_size=10)
+    np.testing.assert_allclose(acc, acc2, atol=1e-6)
+    np.testing.assert_allclose(loss, loss2, rtol=1e-5)
+
+
+def test_coalition_evaluator_matches_serial(rng):
+    """The vmapped C-coalition pass must equal C serial evaluations —
+    the core correctness claim of the TPU design."""
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
+
+    # three clients with random LoRA deltas
+    deltas = []
+    for i in range(3):
+        k = jax.random.key(10 + i)
+        noise = jax.tree.map(
+            lambda leaf: 0.05 * jax.random.normal(jax.random.fold_in(k, hash(leaf.shape) % 1000), leaf.shape),
+            lora0,
+        )
+        deltas.append(noise)
+    stacked = tm.tree_stack(deltas)
+    coalitions = [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]]
+    W = tm.coalition_weight_matrix(coalitions, [100, 200, 700], 3)
+    stacked_lora = tm.materialize_coalitions(lora0, stacked, W)
+
+    images = rng.normal(size=(12, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=12)
+    data = batches_of(images, labels, 5)
+
+    fwd = lambda b, lora, x: jvit.vit_forward(b, lora, x, spec)
+    evaluator = ev.make_coalition_evaluator(fwd)
+    batched = evaluator(base, stacked_lora, data)
+    assert batched.shape == (7, 2)
+
+    for c in range(7):
+        lora_c = jax.tree.map(lambda leaf: leaf[c], stacked_lora)
+        acc, loss = ev.evaluate_model(
+            lambda p, x: jvit.vit_forward(p[0], p[1], x, spec), (base, lora_c), data
+        )
+        np.testing.assert_allclose(batched[c, 0], acc, atol=1e-6)
+        np.testing.assert_allclose(batched[c, 1], loss, rtol=1e-5)
+
+
+def test_coalition_evaluator_chunking_equivalence(rng):
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
+    deltas = [jax.tree.map(lambda l: l + 0.01 * (i + 1), lora0) for i in range(3)]
+    stacked = tm.tree_stack(deltas)
+    W = tm.coalition_weight_matrix([[0], [1], [2], [0, 1, 2], [1, 2]], [1, 1, 1], 3)
+    stacked_lora = tm.materialize_coalitions(lora0, stacked, W)
+    images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=8)
+    data = batches_of(images, labels, 8)
+    fwd = lambda b, lora, x: jvit.vit_forward(b, lora, x, spec)
+    full = ev.make_coalition_evaluator(fwd)(base, stacked_lora, data)
+    chunked = ev.make_coalition_evaluator(fwd, coalition_chunk=2)(base, stacked_lora, data)
+    np.testing.assert_allclose(full, chunked, atol=1e-6)
