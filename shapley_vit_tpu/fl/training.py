@@ -1,0 +1,115 @@
+"""Local client training — the v1 FL capability.
+
+Reference: ``ClientBase.local_training`` (client.py:44-76) — per-epoch SGD
+over the client's shard with an optional label-flipping poisoning attack
+(client.py:53-59, probability ``label_flip_prob``), per-epoch loss logging;
+plus the centralized-SGD baseline loop (cent_sgd.py:121-129).
+
+TPU-first: the train step is a pure jitted function over (lora, opt_state);
+only the LoRA overlay + classifier train (the reference freezes the base via
+peft the same way). The label-flip attack is a pure function of a PRNG key —
+a data-poisoning *fixture* (SURVEY.md §5 fault injection), applied inside the
+step so it vmaps/shards like everything else.
+
+Multi-client parallelism: ``make_multi_client_train_step`` vmaps the update
+over a stacked client axis — all clients take their local step in one fused
+device program, the analogue of coalition-vmapped evaluation for training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+PyTree = Any
+
+
+def label_flip(
+    key: jax.Array, labels: jax.Array, num_classes: int, flip_prob: float
+) -> jax.Array:
+    """Label-flipping attack fixture (reference client.py:53-59: with prob p,
+    replace the label with a uniformly random class)."""
+    if flip_prob <= 0.0:
+        return labels
+    kf, kl = jax.random.split(key)
+    flip = jax.random.bernoulli(kf, flip_prob, labels.shape)
+    rand_labels = jax.random.randint(kl, labels.shape, 0, num_classes)
+    return jnp.where(flip, rand_labels, labels)
+
+
+def make_train_step(
+    forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
+    optimizer: optax.GradientTransformation,
+    num_classes: int,
+    label_flip_prob: float = 0.0,
+):
+    """Build the jitted LoRA train step.
+
+    ``forward_fn(base, lora, images) -> logits``. Returns
+    ``step(base, lora, opt_state, images, labels, key) ->
+    (lora, opt_state, loss)`` with mean-CE loss (reference client.py:64-69
+    forward→CE→backward→step). Base params are a jit argument (frozen).
+    """
+
+    def loss_fn(lora, base, images, labels):
+        logits = forward_fn(base, lora, images)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(base, lora, opt_state, images, labels, key):
+        labels = label_flip(key, labels, num_classes, label_flip_prob)
+        loss, grads = jax.value_and_grad(loss_fn)(lora, base, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
+
+
+def make_multi_client_train_step(
+    forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
+    optimizer: optax.GradientTransformation,
+    num_classes: int,
+    label_flip_prob: float = 0.0,
+):
+    """All-clients-in-one-program local step: vmap the single-client update
+    over a stacked client axis (lora/opt_state/batch all carry a leading
+    [n_clients] dim). This is what ``dryrun_multichip`` shards over the mesh
+    coalition axis × data axis."""
+    single = make_train_step(forward_fn, optimizer, num_classes, label_flip_prob)
+
+    # vmap over (lora, opt_state, images, labels, key); base shared
+    vstep = jax.vmap(
+        lambda base, lora, opt, x, y, k: single(base, lora, opt, x, y, k),
+        in_axes=(None, 0, 0, 0, 0, 0),
+    )
+    return jax.jit(vstep)
+
+
+def local_training(
+    step,
+    base: PyTree,
+    lora: PyTree,
+    opt_state,
+    epochs: int,
+    batches_fn: Callable[[], Any],
+    key: jax.Array,
+    log_fn: Optional[Callable[[int, float], None]] = None,
+) -> Tuple[PyTree, Any]:
+    """Epoch loop (client.py:44-76): run ``epochs`` passes over the client's
+    batches, logging per-epoch mean loss."""
+    for epoch in range(epochs):
+        total, count = 0.0, 0
+        for images, labels in batches_fn():
+            key, sub = jax.random.split(key)
+            lora, opt_state, loss = step(base, lora, opt_state, images, labels, sub)
+            total += float(loss)
+            count += 1
+        if log_fn is not None:
+            log_fn(epoch, total / max(count, 1))
+    return lora, opt_state

@@ -1,0 +1,137 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: the sharded
+coalition evaluator must match the single-chip path exactly, and the
+multi-client train step must run sharded."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from shapley_vit_tpu.fl import evaluation as ev
+from shapley_vit_tpu.fl import training as tr
+from shapley_vit_tpu.models import vit as jvit
+from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.parallel import mesh as pmesh
+from shapley_vit_tpu.parallel.coalition_eval import make_sharded_coalition_evaluator
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
+    leaves, treedef = jax.tree.flatten(lora0)
+    deltas = [
+        treedef.unflatten(
+            [
+                0.05 * jax.random.normal(k, l.shape)
+                for k, l in zip(jax.random.split(jax.random.key(i), len(leaves)), leaves)
+            ]
+        )
+        for i in range(4)
+    ]
+    stacked = tm.tree_stack(deltas)
+    coalitions = [[0], [1], [2], [3], [0, 1], [2, 3], [0, 1, 2, 3], [1, 2]]
+    W = tm.coalition_weight_matrix(coalitions, [10, 20, 30, 40], 4)
+    stacked_lora = tm.materialize_coalitions(lora0, stacked, W)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(16, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=16)
+    fwd = lambda b, l, x: jvit.vit_forward(b, l, x, spec)
+    return dict(
+        spec=spec, base=base, stacked_lora=stacked_lora, fwd=fwd,
+        data=[(images[:8], labels[:8]), (images[8:], labels[8:])],
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = pmesh.make_mesh(n_coalition=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("coalition", "data")
+    mesh1 = pmesh.make_mesh(n_coalition=1, n_data=1, devices=jax.devices()[:1])
+    assert mesh1.devices.shape == (1, 1)
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(n_coalition=3)  # 8 % 3 != 0
+
+
+def test_sharded_evaluator_matches_single_chip(setup):
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=2)  # 2x4 over 8 virtual devices
+    sharded = make_sharded_coalition_evaluator(s["fwd"], mesh)
+    got = sharded(s["base"], s["stacked_lora"], s["data"])
+    single = ev.make_coalition_evaluator(s["fwd"])
+    want = single(s["base"], s["stacked_lora"], s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_evaluator_1x8_data_parallel(setup):
+    # pure data-parallel layout (the reference's DataParallel analogue)
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=1)
+    sharded = make_sharded_coalition_evaluator(s["fwd"], mesh)
+    got = sharded(s["base"], s["stacked_lora"], s["data"])
+    want = ev.make_coalition_evaluator(s["fwd"])(s["base"], s["stacked_lora"], s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_multi_client_train_step_sharded(setup):
+    s = setup
+    spec = s["spec"]
+    mesh = pmesh.make_mesh(n_coalition=2)
+    n_clients, B = 4, 8
+    lora0 = jvit.init_lora(jax.random.key(2), spec)
+    stacked = tm.tree_stack([lora0] * n_clients)
+    opt = optax.sgd(1e-2)
+    opt_state = jax.vmap(opt.init)(stacked)
+    step = tr.make_multi_client_train_step(s["fwd"], opt, spec.num_classes)
+
+    cshard = NamedSharding(mesh, P("coalition"))
+    cdshard = NamedSharding(mesh, P("coalition", "data"))
+    rng = np.random.default_rng(1)
+    images = jax.device_put(
+        rng.normal(size=(n_clients, B, 16, 16, 3)).astype(np.float32), cdshard
+    )
+    labels = jax.device_put(rng.integers(0, 4, size=(n_clients, B)), cdshard)
+    keys = jax.device_put(jax.random.split(jax.random.key(0), n_clients), cshard)
+    lora_d = jax.tree.map(lambda x: jax.device_put(x, cshard), stacked)
+    opt_d = jax.tree.map(lambda x: jax.device_put(x, cshard), opt_state)
+
+    new_lora, new_opt, losses = step(s["base"], lora_d, opt_d, images, labels, keys)
+    assert losses.shape == (n_clients,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # params actually moved
+    delta = tm.tree_sub(new_lora, lora_d)
+    total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(delta))
+    assert total > 0
+
+
+def test_train_step_reduces_loss(setup):
+    s = setup
+    spec = s["spec"]
+    base = s["base"]
+    lora = jvit.init_lora(jax.random.key(4), spec)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(lora)
+    step = tr.make_train_step(s["fwd"], opt, spec.num_classes)
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(16, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=16)
+    key = jax.random.key(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        lora, opt_state, loss = step(base, lora, opt_state, images, labels, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_label_flip_fixture():
+    key = jax.random.key(0)
+    labels = np.zeros(1000, dtype=np.int32)
+    flipped = np.asarray(tr.label_flip(key, labels, 4, 0.5))
+    frac = (flipped != 0).mean()
+    # p=0.5 flip to uniform over 4 classes: expect ~0.5 * 3/4 = 0.375 changed
+    assert 0.3 < frac < 0.45
+    same = np.asarray(tr.label_flip(key, labels, 4, 0.0))
+    np.testing.assert_array_equal(same, labels)
