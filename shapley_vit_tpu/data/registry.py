@@ -1,0 +1,193 @@
+"""Dataset registry — ``get_dataset(name) -> (splits, info)``.
+
+Reference: ``federated_learning/utils.py:250-486`` ``get_dataset`` with
+MNIST / EMNIST / SVHN / CIFAR10 (50-50 train/val split, seed 42) / CIFAR100 /
+CINIC10 / COMPAS / Adult (tabular with per-sensitive-group validation sets) /
+medical loaders (ISIC-2019, DR-Kaggle, COVID ImageFolder) plus the OCT
+CellData loader on the live path.
+
+This environment has zero egress, so torchvision downloads are impossible:
+each image loader reads the standard on-disk layout if ``data_dir`` has it
+(torchvision cache for MNIST-family/CIFAR/SVHN, ImageFolder for the medical
+sets), and otherwise — when ``synthetic_ok=True`` (the default for smoke/test
+runs) — generates a deterministic class-separable synthetic stand-in with the
+real shape/class-count so every downstream path (partitioners, FL, Shapley)
+exercises identically.
+
+Returned ``splits`` dict: ``train`` / ``val`` / ``test`` ArrayDatasets (val
+may equal test where the reference does that); ``info``: num_classes,
+im_size, channels, and for tabular sets the per-group validation splits
+(utils.py:394-455).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from shapley_vit_tpu.data.arrays import ArrayDataset
+from shapley_vit_tpu.data.oct import CellDataset
+
+_IMAGE_SPECS = {
+    # name: (num_classes, H, W, C, train_n, test_n)  (sizes for synthetics)
+    "mnist": (10, 28, 28, 1, 60000, 10000),
+    "emnist": (47, 28, 28, 1, 112800, 18800),
+    "svhn": (10, 32, 32, 3, 73257, 26032),
+    "cifar10": (10, 32, 32, 3, 50000, 10000),
+    "cifar100": (100, 32, 32, 3, 50000, 10000),
+    "cinic10": (10, 32, 32, 3, 90000, 90000),
+    "covid-19": (3, 224, 224, 3, 3000, 600),
+    "isic2019": (8, 224, 224, 3, 20264, 5067),
+    "dr-kaggle": (5, 224, 224, 3, 35126, 10000),
+    "oct": (4, 256, 256, 3, 2000, 400),
+}
+
+
+def _synthetic_images(
+    name: str, n: int, num_classes: int, h: int, w: int, c: int, seed: int
+) -> ArrayDataset:
+    """Deterministic, class-separable synthetic images: per-class mean
+    pattern + noise, so accuracy is learnable and eval is non-degenerate.
+    Class prototypes are keyed by the dataset NAME (shared across splits);
+    only the noise/labels vary with ``seed``."""
+    import zlib
+
+    proto_rng = np.random.default_rng(zlib.crc32(name.encode()))  # stable across processes
+    protos = proto_rng.normal(0.5, 0.15, size=(num_classes, h, w, c)).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=n).astype(np.int32)
+    images = protos[labels] + rng.normal(0, 0.1, size=(n, h, w, c)).astype(np.float32)
+    images = np.clip(images, 0.0, 1.0)
+    names = [f"{name}_{i:06d}.synthetic" for i in range(n)]
+    return ArrayDataset(images=images, labels=labels, names=names)
+
+
+def _try_torchvision(name: str, data_dir: str):
+    """Load from a local torchvision cache (download=False). Returns
+    (train_ds, test_ds) ArrayDatasets or None."""
+    try:
+        import torchvision
+        import torchvision.transforms  # noqa: F401
+    except Exception:
+        return None
+
+    def to_arrays(tv) -> ArrayDataset:
+        import torch
+
+        xs, ys = [], []
+        for img, y in tv:
+            arr = np.asarray(img, dtype=np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            xs.append(arr)
+            ys.append(int(y))
+        return ArrayDataset(images=np.stack(xs), labels=np.asarray(ys, np.int32))
+
+    try:
+        tv = torchvision.datasets
+        if name == "mnist":
+            pair = tv.MNIST(data_dir, train=True, download=False), tv.MNIST(data_dir, train=False, download=False)
+        elif name == "emnist":
+            pair = (
+                tv.EMNIST(data_dir, split="balanced", train=True, download=False),
+                tv.EMNIST(data_dir, split="balanced", train=False, download=False),
+            )
+        elif name == "svhn":
+            pair = tv.SVHN(data_dir, split="train", download=False), tv.SVHN(data_dir, split="test", download=False)
+        elif name == "cifar10":
+            pair = tv.CIFAR10(data_dir, train=True, download=False), tv.CIFAR10(data_dir, train=False, download=False)
+        elif name == "cifar100":
+            pair = tv.CIFAR100(data_dir, train=True, download=False), tv.CIFAR100(data_dir, train=False, download=False)
+        else:
+            return None
+        return to_arrays(pair[0]), to_arrays(pair[1])
+    except Exception:
+        return None
+
+
+def _tabular(name: str, data_dir: str, synthetic_ok: bool, seed: int):
+    """COMPAS / Adult tabular sets with a binary sensitive attribute and
+    per-group validation splits (utils.py:394-455)."""
+    n_features = 12 if name == "compas" else 14
+    csv = os.path.join(data_dir or "", f"{name}.csv")
+    if os.path.exists(csv):
+        raw = np.genfromtxt(csv, delimiter=",", skip_header=1)
+        X = raw[:, :-2].astype(np.float32)
+        group = raw[:, -2].astype(np.int32)
+        y = raw[:, -1].astype(np.int32)
+    elif synthetic_ok:
+        rng = np.random.default_rng(seed)
+        n = 5000
+        X = rng.normal(size=(n, n_features)).astype(np.float32)
+        group = (rng.random(n) < 0.4).astype(np.int32)
+        w = rng.normal(size=n_features)
+        y = ((X @ w + 0.3 * group + rng.normal(0, 0.5, n)) > 0).astype(np.int32)
+    else:
+        raise FileNotFoundError(f"{csv} not found and synthetic_ok=False")
+
+    ds = ArrayDataset(images=X, labels=y, group=group, classes=["neg", "pos"])
+    train, valtest = ds.split(test_size=0.4, seed=42, stratify=True)
+    val, test = valtest.split(test_size=0.5, seed=42, stratify=True)
+    group_val = [val.subset(np.where(val.group == g)[0]) for g in (0, 1)]
+    info = dict(
+        num_classes=2, tabular=True, n_features=X.shape[1], group_valid=group_val
+    )
+    return dict(train=train, val=val, test=test), info
+
+
+def get_dataset(
+    name: str,
+    data_dir: Optional[str] = None,
+    synthetic_ok: bool = True,
+    synthetic_scale: float = 0.02,
+    seed: int = 42,
+) -> Tuple[Dict[str, ArrayDataset], Dict]:
+    """Load a named dataset. ``synthetic_scale`` shrinks synthetic set sizes
+    (the full MNIST-sized synthetics are pointless in tests)."""
+    name = name.lower()
+    data_dir = data_dir or ""
+
+    if name in ("compas", "adult"):
+        return _tabular(name, data_dir, synthetic_ok, seed)
+
+    if name in ("oct", "x-ray", "cell"):
+        try:
+            full = CellDataset(data_dir, mode="train", patch_size=256)
+            train, val = full.split(test_size=0.2, seed=42)
+            info = dict(num_classes=full.num_classes, im_size=(256, 256), channels=3,
+                        classes=full.classes)
+            return dict(train=train, val=val, test=val), info
+        except FileNotFoundError:
+            if not synthetic_ok:
+                raise
+            spec = _IMAGE_SPECS["oct"]
+
+    if name not in _IMAGE_SPECS:
+        raise ValueError(f"unknown dataset {name!r}")
+    num_classes, h, w, c, train_n, test_n = _IMAGE_SPECS[name]
+
+    loaded = _try_torchvision(name, data_dir) if data_dir else None
+    if loaded is not None:
+        train, test = loaded
+    elif synthetic_ok:
+        train_n = max(num_classes * 10, int(train_n * synthetic_scale))
+        test_n = max(num_classes * 10, int(test_n * synthetic_scale))
+        train = _synthetic_images(name, train_n, num_classes, h, w, c, seed)
+        test = _synthetic_images(name, test_n, num_classes, h, w, c, seed + 1)
+    else:
+        raise FileNotFoundError(
+            f"no local data for {name!r} under {data_dir!r} and synthetic_ok=False"
+        )
+
+    if name == "cifar10":
+        # reference: CIFAR-10 test set split 50/50 into val/test, seed 42
+        # (utils.py:300-348)
+        val, test = test.split(test_size=0.5, seed=42, stratify=True)
+    else:
+        val = test
+    info = dict(num_classes=num_classes, im_size=(h, w), channels=c)
+    return dict(train=train, val=val, test=test), info
