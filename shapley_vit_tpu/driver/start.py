@@ -1,0 +1,237 @@
+"""The Shapley-server driver.
+
+Reference: ``shapleyserver/start.py`` ``start()`` (start.py:248-331) +
+``getInitialShapleyValue`` (start.py:82-222):
+
+  1. load ``.env`` paths; build the OCT validation dataset;
+  2. build HF ViT-base + 4-class head, wrap in LoRA (r=16, α=8, q+v,
+     classifier trainable) and DataParallel;
+  3. evaluate the initial global model → ``previous_utility = [acc, loss]``;
+  4. seed round-0 SV as ``prev_utility/num_clients`` per client;
+  5. block until all client checkpoints exist; load each, evaluate it,
+     compute its weight delta vs. the initial model;
+  6. build clients/server/Game and run the comp-contrib estimator.
+
+TPU rebuild differences (behavior-preserving):
+  * one functional ViT + LoRA overlay per client — the reference aliases ONE
+    model object for all four roles (start.py:285-288), a bug not replicated;
+  * DataParallel → device-resident validation batches + vmapped coalition
+    evaluation (optionally mesh-sharded);
+  * the blocking filesystem poll becomes the atomic-rename watcher with a
+    configurable straggler policy (fl/ingestion.py);
+  * the in-memory utility memo can persist to disk so a Shapley round is
+    resumable (Game utility table → npz).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from shapley_vit_tpu.config import Config
+from shapley_vit_tpu.data.arrays import ArrayDataset, device_batches
+from shapley_vit_tpu.data.registry import get_dataset
+from shapley_vit_tpu.fl import evaluation as ev
+from shapley_vit_tpu.fl import ingestion
+from shapley_vit_tpu.fl.client import EvalClient
+from shapley_vit_tpu.fl.server import EvalServer
+from shapley_vit_tpu.models import vit as jvit
+from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.utils.logging import CSVLogger, get_logger
+
+PyTree = Any
+
+
+def build_model(cfg: Config, key=None):
+    """ViT + LoRA construction (reference start.py:258-276). Returns
+    (spec, base_params, init_lora)."""
+    import jax
+
+    key = key if key is not None else jax.random.key(0)
+    # CLI surface: --model-type ViT (reference default) uses cfg's variant;
+    # "ViT-<variant>" selects tiny/small/base/large/micro explicitly
+    variant = cfg.model.vit_variant
+    if cfg.model.model_type.lower().startswith("vit-"):
+        variant = cfg.model.model_type.split("-", 1)[1].lower()
+    spec = jvit.make_spec(
+        variant,
+        num_classes=cfg.model.num_classes,
+        lora_r=cfg.model.lora_r,
+        lora_alpha=cfg.model.lora_alpha,
+        dtype=cfg.model.compute_dtype,
+    )
+    k1, k2 = jax.random.split(key)
+    base = jvit.init_vit(k1, spec)
+    lora = jvit.init_lora(k2, spec, classifier_from=base)
+    return spec, base, lora
+
+
+def load_validation_dataset(cfg: Config, target_size: Optional[int] = None) -> ArrayDataset:
+    """OCT validation data via the .env path (reference getOCTData2,
+    start.py:51-56) with synthetic fallback for offline runs. Images are
+    resized once to the model's input size (the reference resizes per-sample
+    inside the DataLoader, start.py:35-38)."""
+    root = cfg.paths.validation_dataset or cfg.data.data_dir
+    splits, _ = get_dataset(
+        "oct", data_dir=root, synthetic_ok=True, seed=cfg.shapley.seed
+    )
+    ds = splits["val"]
+    target = target_size or cfg.data.image_size
+    if ds.images.shape[1] != target:
+        import jax
+
+        ds = ArrayDataset(
+            images=np.asarray(
+                jax.image.resize(
+                    ds.images, (len(ds), target, target, ds.images.shape[-1]), "bilinear"
+                )
+            ),
+            labels=ds.labels,
+            names=ds.names,
+            classes=ds.classes,
+        )
+    return ds
+
+
+def get_initial_shapley_value(
+    cfg: Config,
+    valid: ArrayDataset,
+    spec,
+    base: PyTree,
+    init_lora: PyTree,
+    checkpoint_paths: Optional[List[str]] = None,
+    csv_logger: Optional[CSVLogger] = None,
+) -> Tuple[List[List[Dict[int, float]]], List[Dict[int, float]]]:
+    """Round bootstrap + first Shapley round (reference start.py:82-222)."""
+    logger = get_logger()
+    n = cfg.shapley.num_clients
+    utility_dim = cfg.shapley.utility_dim
+
+    data = device_batches(valid, cfg.data.eval_batch_size)
+    single_fwd = lambda p, x: jvit.vit_forward(p[0], p[1], x, spec)
+
+    # step 3: initial global utility (start.py:84-96)
+    fed_valid_acc, fed_valid_loss = ev.evaluate_model(
+        single_fwd, (base, init_lora), data, dataset_size=len(valid)
+    )
+    previous_utility = [fed_valid_acc, fed_valid_loss]
+    logger.info(f"Previous utility: {previous_utility}")
+
+    # step 4: round-0 seed SV (start.py:104-106)
+    shapley_value_all_rounds: List[List[Dict[int, float]]] = [[] for _ in range(utility_dim)]
+    shapley_value_sum: List[Dict[int, float]] = [{} for _ in range(utility_dim)]
+    for i in range(utility_dim):
+        shapley_value_all_rounds[i].append(
+            {cid: previous_utility[i] / n for cid in range(n)}
+        )
+        shapley_value_sum[i] = dict(shapley_value_all_rounds[i][0])
+
+    # step 5: wait for + ingest client checkpoints (start.py:134-164)
+    if checkpoint_paths is None:
+        root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
+        checkpoint_paths = ingestion.default_checkpoint_paths(root, n)
+    watch = ingestion.wait_for_checkpoints(
+        checkpoint_paths,
+        timeout=None if cfg.train.resume else 3600.0,
+        policy="wait",
+        log_fn=logger.info,
+    )
+    deltas, selection = ingestion.ingest_clients(watch.paths, init_lora, spec)
+
+    # per-client standalone evaluation (start.py:157-161, logged not used)
+    clients: List[EvalClient] = []
+    local_metrics = []
+    for cid, delta in enumerate(deltas):
+        if delta is None:
+            clients.append(EvalClient(cid, num_local_data_train=1))
+            continue
+        client_lora = tm.tree_add(init_lora, delta)
+        acc, loss = ev.evaluate_model(
+            single_fwd, (base, client_lora), data, dataset_size=len(valid)
+        )
+        local_metrics.append((cid, acc, loss))
+        logger.info(f"Client {cid}: accuracy={acc} loss={loss}")
+        clients.append(
+            EvalClient(cid, num_local_data_train=1, delta=delta)
+        )
+    if csv_logger is not None:
+        for cid, acc, loss in local_metrics:
+            csv_logger.log(["client_eval", cid, acc, loss])
+
+    # step 6: game + estimator (start.py:172-189)
+    stacked = tm.tree_stack([
+        d if d is not None else tm.tree_zeros_like(init_lora) for d in deltas
+    ])
+    evaluator = ev.make_coalition_evaluator(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+        coalition_chunk=cfg.shapley.coalition_chunk,
+    )
+    import jax
+
+    mat = jax.jit(tm.materialize_coalitions)
+
+    def eval_coalitions_fn(W: np.ndarray) -> np.ndarray:
+        stacked_lora = mat(init_lora, stacked, W)
+        return evaluator(base, stacked_lora, data, dataset_size=len(valid))
+
+    game = Game(
+        eval_coalitions_fn=eval_coalitions_fn,
+        num_local_data=[c.num_local_data_train for c in clients],
+        client_selection_vector=selection,
+        previous_utility=previous_utility,
+        utility_dim=utility_dim,
+        n_all=n,
+    )
+    server = EvalServer(base, clients, valid_batches=data, valid_size=len(valid))  # noqa: F841 (parity object)
+
+    rng = np.random.default_rng(cfg.shapley.seed)
+    shapley_value = call_shapley_computation_method({}, game, logger, rng=rng)
+
+    # persist the utility table for resume (SURVEY.md §5 checkpoint/resume)
+    if cfg.shapley.persist_utility_table:
+        out = cfg.ensure_output_dir()
+        table = {
+            ",".join(map(str, sorted(k))): np.asarray(v)
+            for k, v in game.utility.items()
+        }
+        if table:
+            ingestion.atomic_save_npz(os.path.join(out, "utility_table.npz"), table)
+
+    for i in range(utility_dim):
+        shapley_value_all_rounds[i].append(shapley_value[i])
+        for cid, v in shapley_value[i].items():
+            shapley_value_sum[i][cid] = shapley_value_sum[i].get(cid, 0.0) + v
+    if csv_logger is not None:
+        for i in range(utility_dim):
+            csv_logger.log(["shapley_round1", i] + [shapley_value[i][c] for c in range(n)])
+
+    return shapley_value_all_rounds, shapley_value_sum
+
+
+def start(cfg: Optional[Config] = None, checkpoint_paths: Optional[List[str]] = None):
+    """Entry point (reference mainShapley.py → start.py:248-331)."""
+    cfg = cfg or Config.from_env()
+    logger = get_logger()
+    out_dir = cfg.ensure_output_dir()
+    csv_logger = CSVLogger(out_dir, cfg.dist.dist_rank, cfg.obs.exp_id, cfg.data.mode)
+
+    spec, base, init_lora = build_model(cfg)
+    valid = load_validation_dataset(cfg, target_size=spec.image)
+    logger.info(f"validation dataset: {len(valid)} images")
+
+    n_trainable = jvit.trainable_params(init_lora)
+    n_all = sum(x.size for x in __import__("jax").tree.leaves(base)) + n_trainable
+    logger.info(
+        f"trainable params: {n_trainable} || all params: {n_all} || "
+        f"trainable%: {100 * n_trainable / n_all:.2f}"
+    )
+
+    result = get_initial_shapley_value(
+        cfg, valid, spec, base, init_lora,
+        checkpoint_paths=checkpoint_paths, csv_logger=csv_logger,
+    )
+    csv_logger.close()
+    return result

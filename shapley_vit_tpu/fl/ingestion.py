@@ -1,0 +1,176 @@
+"""Client checkpoint ingestion: the FL "network" is a shared filesystem.
+
+Reference behavior (start.py:134-222): the server blocks polling for
+``shapleyserver/local_training/client_{i}_model/ViT_epoch_9.pth.tar`` per
+client with a 1s sleep loop and a broken O_EXCL lock probe (O_EXCL without
+O_CREAT is a POSIX no-op — SURVEY.md §5), then ``th.load`` +
+``load_state_dict``.
+
+Redesign (same contract, sound mechanics):
+  * writers use ATOMIC RENAME — write ``<file>.tmp`` then ``os.replace`` — so
+    a file that exists is complete; no lock probe needed;
+  * the watcher takes a ``timeout`` and a straggler ``policy``: ``"wait"``
+    (block forever, the reference's behavior), ``"skip"`` (proceed with the
+    subset that arrived — the selection vector marks absentees), ``"fail"``;
+  * checkpoints load as either torch ``.pth.tar`` (reference clients,
+    ``ckpt['state_dict']`` with peft naming, start.py:146-151) or our native
+    ``.npz`` (peft-style keys), both converted to LoRA pytrees via
+    ``models.convert``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from shapley_vit_tpu.models import convert
+from shapley_vit_tpu.models.vit import ViTSpec
+
+PyTree = Any
+
+
+# ---------------------------------------------------------------------------
+# writing (the client side / test fixture side)
+# ---------------------------------------------------------------------------
+
+def atomic_save_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Write-then-rename so readers never observe a partial file."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def save_lora_checkpoint(path: str, lora_tree: PyTree, spec: ViTSpec) -> None:
+    """Save our LoRA overlay in peft naming (interoperable with reference
+    tooling); .npz native, .pth.tar via torch if requested."""
+    sd = convert.tree_to_peft_lora(lora_tree, spec)
+    if path.endswith(".npz"):
+        atomic_save_npz(path, sd)
+    else:
+        import torch
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        torch.save({"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}, tmp)
+        os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+def load_checkpoint_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a client checkpoint into a numpy state dict. Torch ``.pth.tar``
+    files carry ``{'state_dict': ...}`` (reference cent_sgd.py:142-147 uses
+    'model_state_dict'; both keys accepted)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model_state_dict"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return convert.torch_state_dict_to_numpy(ckpt)
+
+
+def load_client_lora(path: str, spec: ViTSpec) -> PyTree:
+    """Checkpoint -> LoRA overlay tree (lora A/B + classifier)."""
+    return convert.peft_lora_to_tree(load_checkpoint_state_dict(path), spec)
+
+
+def client_delta(client_lora: PyTree, init_lora: PyTree) -> PyTree:
+    """Weight delta vs. the initial global overlay (reference
+    ``get_difference_between_network_weights``, utils.py:735-749 — only the
+    trainable overlay differs under LoRA fine-tuning, so the delta lives
+    entirely in the overlay tree)."""
+    from shapley_vit_tpu.ops.tree_math import tree_sub
+
+    return tree_sub(client_lora, init_lora)
+
+
+# ---------------------------------------------------------------------------
+# watching
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WatchResult:
+    paths: List[Optional[str]]          # per-client checkpoint path or None
+    arrived: List[bool]                 # the client selection vector
+    waited_seconds: float
+
+
+def default_checkpoint_paths(
+    root: str, num_clients: int, filename: str = "ViT_epoch_9.pth.tar"
+) -> List[str]:
+    """The reference's layout: ``<root>/client_{i}_model/<filename>`` with
+    1-based client directories (start.py:134-136)."""
+    return [
+        os.path.join(root, f"client_{i + 1}_model", filename)
+        for i in range(num_clients)
+    ]
+
+
+def wait_for_checkpoints(
+    paths: Sequence[str],
+    timeout: Optional[float] = None,
+    poll_interval: float = 1.0,
+    policy: str = "wait",
+    log_fn: Optional[Callable[[str], None]] = None,
+    _sleep=time.sleep,
+) -> WatchResult:
+    """Poll until every path exists (atomic-rename protocol: existence ==
+    completeness). ``policy`` on timeout: 'wait' ignores the timeout
+    (reference start.py:212-219 blocks forever), 'skip' returns with the
+    subset that arrived, 'fail' raises TimeoutError."""
+    if policy not in ("wait", "skip", "fail"):
+        raise ValueError(f"unknown straggler policy {policy!r}")
+    start = time.time()
+    while True:
+        arrived = [os.path.exists(p) for p in paths]
+        if all(arrived):
+            return WatchResult(list(paths), arrived, time.time() - start)
+        elapsed = time.time() - start
+        if timeout is not None and elapsed >= timeout and policy != "wait":
+            if policy == "fail":
+                missing = [p for p, a in zip(paths, arrived) if not a]
+                raise TimeoutError(f"clients never delivered: {missing}")
+            return WatchResult(
+                [p if a else None for p, a in zip(paths, arrived)],
+                arrived,
+                elapsed,
+            )
+        if log_fn is not None:
+            missing = sum(1 for a in arrived if not a)
+            log_fn(f"waiting for {missing} client checkpoint(s)...")
+        _sleep(poll_interval)
+
+
+def ingest_clients(
+    paths: Sequence[Optional[str]],
+    init_lora: PyTree,
+    spec: ViTSpec,
+) -> Tuple[List[Optional[PyTree]], List[bool]]:
+    """Load every arrived client checkpoint and return (deltas, selection):
+    the reference's load → evaluate → delta loop (start.py:144-164) without
+    the shared-model aliasing bug (start.py:285-288)."""
+    deltas: List[Optional[PyTree]] = []
+    selection: List[bool] = []
+    for p in paths:
+        if p is None:
+            deltas.append(None)
+            selection.append(False)
+            continue
+        lora = load_client_lora(p, spec)
+        deltas.append(client_delta(lora, init_lora))
+        selection.append(True)
+    return deltas, selection
