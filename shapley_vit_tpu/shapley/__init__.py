@@ -18,3 +18,19 @@ from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     split_permutation_num,
     split_num,
 )
+from shapley_vit_tpu.shapley.compared_methods import (  # noqa: F401
+    Fed_SV,
+    GTG,
+    MR,
+    TMR,
+    comfedsv,
+    call_comfedsv,
+    shapley_value,
+)
+from shapley_vit_tpu.shapley.milp import (  # noqa: F401
+    MILP_Shapley,
+    MILP_Shapley_Two_Sided,
+    MILP_Shapley_Two_Sided_Approx,
+    MILP_Shapley_prev,
+    binary_search,
+)

@@ -1,0 +1,345 @@
+"""Comparison Shapley estimators: ComFedSV, Fed-SV (group testing), GTG
+(guided truncated Monte-Carlo), MR, TMR.
+
+Reference: ``fed_client_contribution/compared_methods.py``. Semantics are
+preserved per method; two deliberate divergences:
+
+  * ``Fed_SV.solveFeasible`` used a Wolfram ``FindInstance`` session
+    (compared_methods.py:200-243) — replaced with a scipy ``linprog``
+    feasibility solve over the identical constraint system (x_i > 0.05,
+    |x_i − x_j − UD_ij| ≤ ε, Σx = u_N) with the same ε·1.1 relaxation loop.
+  * the reference's group-testing membership test uses ``S.count(i+1)``
+    over 0-based client ids (compared_methods.py:160) — an off-by-one that
+    makes client 0 invisible; we implement the documented intent
+    (membership of client i) and key results by the true client ids.
+
+All estimators pre-batch their coalition evaluations through
+``game.precompute`` wherever the sample set is known up front (MR/TMR/
+ComFedSV: the full powerset); the sequential ones (Fed-SV, GTG) stream, but
+still hit the Game's memo table.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.special import comb
+
+from shapley_vit_tpu.shapley.estimators import ncr, powerset
+from shapley_vit_tpu.shapley.game import Game
+
+
+# ---------------------------------------------------------------------------
+# ComFedSV (compared_methods.py:17-75)
+# ---------------------------------------------------------------------------
+
+def comfedsv(args, utility_matrix, all_subsets) -> tuple:
+    """Per-round completed SV from a [T, n_subsets] utility matrix
+    (compared_methods.py:17-43). ``args`` needs .rounds and .num_clients."""
+    T = args["rounds"] if isinstance(args, dict) else args.rounds
+    N = args["num_clients"] if isinstance(args, dict) else args.num_clients
+    shapley_value_per_round = []
+    computation_time_per_round = []
+    for t in range(T):
+        s_time = time.time()
+        valuation_completed = {client_id: 0.0 for client_id in range(N)}
+        for client_id in range(N):
+            sublist = [c for c in range(N) if c != client_id]
+            for s in powerset(sublist):
+                v1 = utility_matrix[t][all_subsets[s]]
+                v2 = utility_matrix[t][all_subsets[tuple(sorted(list(s) + [client_id]))]]
+                valuation_completed[client_id] += (v2 - v1) / ncr(N - 1, len(s))
+            valuation_completed[client_id] += utility_matrix[t][
+                all_subsets[(client_id,)]
+            ]
+            valuation_completed[client_id] /= N
+        shapley_value_per_round.append(valuation_completed)
+        computation_time_per_round.append(time.time() - s_time)
+    return shapley_value_per_round, computation_time_per_round
+
+
+def roundly_mask(idxs_users, all_subsets) -> np.ndarray:
+    """Round participation mask over the subset enumeration
+    (compared_methods.py:64-70)."""
+    mask_vec = np.zeros(len(all_subsets))
+    for s in powerset(idxs_users):
+        mask_vec[all_subsets[s]] = 1
+    return mask_vec
+
+
+def call_comfedsv(game: Game, all_subsets, logger=None):
+    """Fill this round's utility columns + mask (compared_methods.py:46-61),
+    batching all coalition evals in one pass."""
+    utilities = [np.zeros(len(all_subsets)) for _ in range(game.utility_dim)]
+    sets = list(powerset(game.selected_clients))
+    game.precompute(sets)
+    for S in sets:
+        u = game.eval_utility(S)
+        for i in range(game.utility_dim):
+            utilities[i][all_subsets[S]] = u[i]
+    return utilities, roundly_mask(game.selected_clients, all_subsets)
+
+
+# ---------------------------------------------------------------------------
+# closed-form SV from a utility table (compared_methods.py:81-91)
+# ---------------------------------------------------------------------------
+
+def shapley_value(utility: Dict[tuple, float], game: Game) -> Dict[int, float]:
+    """φ_i = Σ_{S∋i} (u(S) − u(S∖{i})) / (C(N−1,|S|−1)·N). Also the
+    documented intent of the reference's missing ``compute_shapley_corrected``
+    (utils_fed_shapley.py:214/227/239 — called but defined nowhere)."""
+    N = len(game.selected_clients)
+    sv_dict = {cid: 0.0 for cid in range(game._n_all)}
+    for S in utility.keys():
+        if S != ():
+            for cid in S:
+                marginal = utility[S] - utility[tuple(i for i in S if i != cid)]
+                sv_dict[cid] += marginal / (comb(N - 1, len(S) - 1) * N)
+    return sv_dict
+
+
+class ShapleyValue:
+    """Base record (compared_methods.py:95-99)."""
+
+    def __init__(self):
+        self.FL_name = "Null"
+        self.SV = {}
+
+
+# ---------------------------------------------------------------------------
+# Fed-SV: group-testing estimator (compared_methods.py:106-243)
+# ---------------------------------------------------------------------------
+
+class Fed_SV(ShapleyValue):
+    def __init__(self, utility_index: int, rng: Optional[np.random.Generator] = None):
+        super().__init__()
+        self.Ut = {}
+        self.SV_t = {}
+        self.utility_index = utility_index
+        self.rng = rng or np.random.default_rng()
+        self.Contribution_records: List = []
+        self.CONVERGE_MIN_K = 200
+        self.last_k = 10
+        self.CONVERGE_CRITERIA = 0.05
+
+    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+        idxs = list(range(game._n_all))
+        N = len(idxs)
+        util = {}
+        S_0 = ()
+        util[S_0] = game.eval_utility(S_0)[self.utility_index]
+        S_all = tuple(idxs)
+        util[S_all] = game.eval_utility(S_all)[self.utility_index]
+
+        last_uds: List[np.ndarray] = []
+        Z = 2 * sum(1 / n for n in range(1, N))
+        UD = np.zeros([N, N], dtype=np.float32)
+        p = np.array([N / (i * (N - i) * Z) for i in range(1, N)])
+        p = p / p.sum()
+
+        k = 0
+        while self.isnotconverge_Group(last_uds, UD) or k < self.CONVERGE_MIN_K:
+            k += 1
+            len_k = self.rng.choice(np.arange(1, N), p=p)
+            S = self.rng.choice(idxs, size=len_k, replace=False)
+            S = tuple(np.sort(S, kind="mergesort"))
+            if util.get(S) is not None:
+                u_S = util[S]
+            else:
+                u_S = game.eval_utility(S)[self.utility_index]
+                util[S] = u_S
+
+            UD = (k - 1) / k * UD
+            members = set(int(x) for x in S)
+            for i in range(N):
+                for j in range(N):
+                    delta_beta = (i in members) - (j in members)
+                    if delta_beta != 0:
+                        UD[i, j] += delta_beta * u_S * Z / k
+            last_uds.append(UD.copy())
+
+        u_N = util[S_all]
+        st = time.time()
+        sv = self.solve_feasible(N, u_N, UD)
+        print("Solve Feasible using %.3f seconds" % (time.time() - st))
+
+        self.Ut[t] = copy.deepcopy(util)
+        self.SV_t[t] = {cid: float(v) for cid, v in enumerate(sv)}
+        return self.SV_t[t]
+
+    def isnotconverge_Group(self, last_uds, UD) -> bool:
+        if len(last_uds) <= self.CONVERGE_MIN_K:
+            return True
+        for i in range(-self.last_k, 0):
+            delta = np.sum(np.abs(UD - last_uds[i])) / len(UD[0])
+            if delta > self.CONVERGE_CRITERIA:
+                return True
+        return False
+
+    @staticmethod
+    def solve_feasible(agent_num: int, u_N: float, UD: np.ndarray) -> np.ndarray:
+        """LP feasibility replacing Wolfram FindInstance
+        (compared_methods.py:200-243): find x with x_i ≥ 0.05,
+        |x_i − x_j − UD_ij| ≤ ε, Σ x = u_N; ε grows ×1.1 until feasible."""
+        from scipy.optimize import linprog
+
+        eps = 1 / np.sqrt(agent_num) / agent_num / 2.0
+        pairs = [(i, j) for i in range(agent_num) for j in range(i + 1, agent_num)]
+        while True:
+            A_ub, b_ub = [], []
+            for i, j in pairs:
+                row = np.zeros(agent_num)
+                row[i], row[j] = 1.0, -1.0
+                A_ub.append(row.copy())
+                b_ub.append(UD[i, j] + eps)      # x_i − x_j ≤ UD_ij + ε
+                A_ub.append(-row)
+                b_ub.append(eps - UD[i, j])      # −(x_i − x_j) ≤ ε − UD_ij
+            res = linprog(
+                c=np.zeros(agent_num),
+                A_ub=np.asarray(A_ub),
+                b_ub=np.asarray(b_ub),
+                A_eq=np.ones((1, agent_num)),
+                b_eq=np.asarray([u_N]),
+                bounds=[(0.05, None)] * agent_num,
+                method="highs",
+            )
+            if res.status == 0:
+                return res.x
+            eps *= 1.1
+
+
+# ---------------------------------------------------------------------------
+# GTG: guided truncated Monte-Carlo (compared_methods.py:250-347)
+# ---------------------------------------------------------------------------
+
+class GTG(ShapleyValue):
+    def __init__(self, utility_index: int, rng: Optional[np.random.Generator] = None):
+        super().__init__()
+        self.Ut = {}
+        self.SV_t = {}
+        self.utility_index = utility_index
+        self.rng = rng or np.random.default_rng()
+        self.Contribution_records: List = []
+        self.eps = 0.001
+        self.round_trunc_threshold = 0.01
+        self.CONVERGE_MIN_K = 3 * 10
+        self.last_k = 10
+        self.CONVERGE_CRITERIA = 0.05
+
+    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+        idxs = list(game.selected_clients)
+        N_all = game._n_all
+        N = len(idxs)
+        self.Contribution_records = []
+
+        util = {}
+        S_0 = ()
+        util[S_0] = game.eval_utility(S_0)[self.utility_index]
+        S_all = tuple(idxs)
+        util[S_all] = game.eval_utility(S_all)[self.utility_index]
+
+        # round truncation (compared_methods.py:284-286)
+        if abs(util[S_all] - util[S_0]) <= self.round_trunc_threshold:
+            self.SV_t[t] = {idx: 0.0 for idx in range(N_all)}
+            return self.SV_t[t]
+
+        k = 0
+        while self.isnotconverge(k):
+            for pi in idxs:
+                k += 1
+                v = [0.0] * (N + 1)
+                v[0] = util[S_0]
+                marginal_contribution_k = {idx: 0.0 for idx in range(N_all)}
+                idxs_k = np.concatenate(
+                    (np.array([pi]), self.rng.permutation([p for p in idxs if p != pi]))
+                )
+                for j in range(1, N + 1):
+                    C = tuple(np.sort(idxs_k[:j], kind="mergesort").tolist())
+                    # truncation (compared_methods.py:304-310)
+                    if abs(util[S_all] - v[j - 1]) >= self.eps:
+                        if util.get(C) is not None:
+                            v[j] = util[C]
+                        else:
+                            v[j] = game.eval_utility(C)[self.utility_index]
+                    else:
+                        v[j] = v[j - 1]
+                    util[C] = v[j]
+                    marginal_contribution_k[int(idxs_k[j - 1])] = v[j] - v[j - 1]
+                self.Contribution_records.append(
+                    [marginal_contribution_k[i] for i in range(N_all)]
+                )
+
+        shapley_value_arr = (
+            np.cumsum(self.Contribution_records, 0)
+            / np.arange(1, len(self.Contribution_records) + 1).reshape(-1, 1)
+        )[-1:].tolist()[0]
+        self.SV_t[t] = {key: sv for key, sv in enumerate(shapley_value_arr)}
+        self.Ut[t] = copy.deepcopy(util)
+        return self.SV_t[t]
+
+    def isnotconverge(self, k: int) -> bool:
+        if k <= self.CONVERGE_MIN_K:
+            return True
+        all_vals = (
+            np.cumsum(self.Contribution_records, 0)
+            / np.arange(1, len(self.Contribution_records) + 1).reshape(-1, 1)
+        )[-self.last_k :]
+        errors = np.mean(
+            np.abs(all_vals[-self.last_k :] - all_vals[-1:])
+            / (np.abs(all_vals[-1:]) + 1e-12),
+            -1,
+        )
+        return bool(np.max(errors) > self.CONVERGE_CRITERIA)
+
+
+# ---------------------------------------------------------------------------
+# MR / TMR: exact multi-round (compared_methods.py:354-432)
+# ---------------------------------------------------------------------------
+
+class MR(ShapleyValue):
+    def __init__(self, utility_index: int):
+        super().__init__()
+        self.SV_t = {}
+        self.Ut = {}
+        self.utility_index = utility_index
+        self.full_set = ()
+        self.st_t = 0
+
+    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+        self.st_t = time.time()
+        sets = list(powerset(game.selected_clients))
+        game.precompute(sets)  # ONE batched pass over the powerset
+        util = {S: game.eval_utility(S)[self.utility_index] for S in sets}
+        util[()] = game.eval_utility(())[self.utility_index]
+        self.full_set = sets[-1]
+        self.SV_t[t] = shapley_value(util, game)
+        self.Ut[t] = copy.deepcopy(util)
+        return self.SV_t[t]
+
+
+class TMR(ShapleyValue):
+    def __init__(self, utility_index: int):
+        super().__init__()
+        self.SV_t = {}
+        self.Ut = {}
+        self.utility_index = utility_index
+        self.round_trunc_threshold = 0.01
+
+    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+        sets = list(powerset(game.selected_clients))
+        util = {}
+        util[()] = game.eval_utility(())[self.utility_index]
+        S_all = sets[-1]
+        util[S_all] = game.eval_utility(S_all)[self.utility_index]
+        if abs(util[S_all] - util[()]) <= self.round_trunc_threshold:
+            self.SV_t[t] = {cid: 0.0 for cid in range(game._n_all)}
+            return self.SV_t[t]
+        game.precompute(sets)
+        for S in sets:
+            util[S] = game.eval_utility(S)[self.utility_index]
+        self.SV_t[t] = shapley_value(util, game)
+        self.Ut[t] = copy.deepcopy(util)
+        return self.SV_t[t]

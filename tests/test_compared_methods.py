@@ -1,0 +1,230 @@
+"""Tests for the comparison estimators, MILP round selection, and the
+multi-round lazy-utility layer — all against closed-form games."""
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.shapley import (
+    TabularGame,
+    powerset,
+    shapley_exact,
+)
+from shapley_vit_tpu.shapley import compared_methods as cm
+from shapley_vit_tpu.shapley import fed_shapley as fs
+from shapley_vit_tpu.shapley import milp as milp_mod
+from shapley_vit_tpu.shapley.game import additive_table
+
+
+def sv_arr(sv_dict, n):
+    return np.array([sv_dict[i] for i in range(n)])
+
+
+@pytest.fixture
+def additive4():
+    values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
+    return TabularGame(additive_table(values), n_all=4), values
+
+
+def test_shapley_value_closed_form_matches_exact(additive4):
+    game, values = additive4
+    sets = list(powerset(range(4)))
+    game.precompute(sets)
+    util = {S: game.eval_utility(S)[0] for S in sets}
+    util[()] = 0.0
+    sv = cm.shapley_value(util, game)
+    np.testing.assert_allclose(sv_arr(sv, 4), values[:, 0], atol=1e-10)
+
+
+def test_mr_matches_exact(additive4):
+    game, values = additive4
+    mr = cm.MR(utility_index=0)
+    sv = mr.compute_shapley_value(game, t=0)
+    np.testing.assert_allclose(sv_arr(sv, 4), values[:, 0], atol=1e-10)
+    assert mr.Ut[0]  # utility table stored
+
+
+def test_tmr_truncates_flat_rounds():
+    # grand-coalition utility ~ 0 -> all-zero SV without evaluating the powerset
+    values = np.array([[0.001, 0.0], [0.002, 0.0], [-0.001, 0.0]])
+    game = TabularGame(additive_table(values), n_all=3)
+    tmr = cm.TMR(utility_index=0)
+    sv = tmr.compute_shapley_value(game, t=0)
+    assert all(v == 0.0 for v in sv.values())
+    assert game.num_evaluations <= 2  # only S_all (+memo); no powerset sweep
+
+
+def test_tmr_matches_exact_when_not_truncated(additive4):
+    game, values = additive4
+    tmr = cm.TMR(utility_index=1)
+    sv = tmr.compute_shapley_value(game, t=0)
+    np.testing.assert_allclose(sv_arr(sv, 4), values[:, 1], atol=1e-10)
+
+
+def test_gtg_converges_on_additive(additive4):
+    game, values = additive4
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    sv = gtg.compute_shapley_value(game, t=0)
+    # truncated MC: loose tolerance, but ordering should hold
+    arr = sv_arr(sv, 4)
+    assert np.argmax(arr) == np.argmax(values[:, 0])
+    np.testing.assert_allclose(arr, values[:, 0], atol=0.5)
+    np.testing.assert_allclose(arr.sum(), values[:, 0].sum(), atol=0.2)
+
+
+def test_gtg_round_truncation():
+    values = np.zeros((3, 2))
+    game = TabularGame(additive_table(values), n_all=3)
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    sv = gtg.compute_shapley_value(game, t=0)
+    assert all(v == 0.0 for v in sv.values())
+
+
+def test_fed_sv_group_testing_feasible(additive4):
+    game, values = additive4
+    # shift utilities so SV components exceed the 0.05 lower bound
+    fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    fsv.CONVERGE_MIN_K = 50
+    sv = fsv.compute_shapley_value(game, t=0)
+    arr = sv_arr(sv, 4)
+    # efficiency is a hard LP constraint: Σx == u(N)
+    np.testing.assert_allclose(arr.sum(), values[:, 0].sum(), atol=1e-6)
+    assert (arr >= 0.05 - 1e-9).all()
+    # group testing approximates pairwise differences: ordering of extremes
+    assert arr[3] == arr.max()
+
+
+def test_solve_feasible_lp_directly():
+    # known differences: x = [1, 2, 4], u_N = 7
+    x_true = np.array([1.0, 2.0, 4.0])
+    UD = x_true[:, None] - x_true[None, :]
+    x = cm.Fed_SV.solve_feasible(3, 7.0, UD)
+    np.testing.assert_allclose(np.sort(x), x_true, atol=0.1)
+
+
+def test_comfedsv_roundtrip(additive4):
+    game, values = additive4
+    all_subsets = fs.all_subsets_enumeration(4)
+    utilities, mask = cm.call_comfedsv(game, all_subsets)
+    assert mask.sum() == len(all_subsets)  # all clients participate
+    args = {"rounds": 1, "num_clients": 4}
+    sv_rounds, times = cm.comfedsv(args, [utilities[0]], all_subsets)
+    np.testing.assert_allclose(sv_arr(sv_rounds[0], 4), values[:, 0], atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# MILP
+# ---------------------------------------------------------------------------
+
+SEL = np.array(
+    [
+        [1, 1, 0, 0],
+        [0, 1, 1, 0],
+        [0, 0, 1, 1],
+        [1, 0, 0, 1],
+        [1, 1, 1, 1],
+    ]
+)
+
+
+def test_milp_shapley_budget_respected():
+    ok, fun, x = milp_mod.MILP_Shapley(SEL, max_shapley_computation=2).solve()
+    assert ok
+    assert x.sum() <= 2 + 1e-9 and x.sum() >= 1
+    assert set(np.round(x).astype(int)) <= {0, 1}
+
+
+def test_milp_shapley_prefers_high_participation():
+    ok, _, x = milp_mod.MILP_Shapley(SEL, max_shapley_computation=1, gamma=0.0).solve()
+    assert ok
+    # round 4 (all clients) carries the highest client weight
+    assert np.argmax(x) == 4
+
+
+def test_milp_two_sided_solves():
+    ok, fun, x = milp_mod.MILP_Shapley_Two_Sided(SEL, max_shapley_computation=3).solve()
+    assert ok and x.sum() <= 3 + 1e-9
+
+
+def test_milp_two_sided_approx_solves():
+    ok, fun, x = milp_mod.MILP_Shapley_Two_Sided_Approx(SEL, max_shapley_computation=2).solve()
+    assert ok and x.sum() <= 2 + 1e-9
+
+
+def test_milp_prev_coverage_and_binary_search():
+    ok, fun, x = milp_mod.MILP_Shapley_prev(SEL, min_shapley_computation=1).solve()
+    assert ok
+    chosen = np.round(x).astype(bool)
+    # every client covered at least once by the chosen rounds
+    assert (SEL[chosen].sum(axis=0) >= 1).all()
+
+    best = milp_mod.binary_search(SEL)
+    assert best is not None
+    chosen = np.round(best).astype(bool)
+    assert (SEL[chosen].sum(axis=0) >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# fed_shapley multi-round
+# ---------------------------------------------------------------------------
+
+def test_compute_shapley_corrected_matches_exact(additive4):
+    game, values = additive4
+    sets = list(powerset(range(4)))
+    game.precompute(sets)
+    util = {S: game.eval_utility(S)[0] for S in sets}
+    sv = fs.compute_shapley_corrected(util, list(range(4)))
+    np.testing.assert_allclose(sv_arr(sv, 4), values[:, 0], atol=1e-10)
+
+
+def test_compute_utilities_lazy_two_rounds():
+    """Two rounds of additive deltas: utility of S = Σ_rounds Σ_{j∈S∩p_r} v_rj
+    with FedAvg ratios folded in. Equal data sizes + singleton checks."""
+    n = 3
+    v = np.array([[0.1, 0.2, 0.3], [0.05, 0.0, -0.1]])  # per-round per-client value
+    sel = [[True, True, True], [True, False, True]]
+    all_subsets = fs.all_subsets_enumeration(n)
+
+    def eval_fn(W):
+        # linear utility in the stacked (round*client) weights
+        flat_v = v.reshape(-1)
+        out = W @ flat_v
+        return np.stack([out, -out], axis=1)
+
+    deltas = [[object()] * n, [object() if sel[1][j] else None for j in range(n)]]
+    utilities, utilities_dict = fs.compute_utilities_lazy(
+        num_clients=n,
+        previous_utility=[0.0, 0.0],
+        client_deltas_all_rounds=deltas,
+        client_selection_matrix=sel,
+        num_local_data=[1.0, 1.0, 1.0],
+        eval_coalitions_fn=eval_fn,
+        all_subsets=all_subsets,
+        utility_dim=2,
+        current_round=1,
+    )
+    # singleton {0}: round0 ratio 1 -> 0.1; round1 participating -> +0.05
+    np.testing.assert_allclose(utilities_dict[0][(0,)], 0.15, atol=1e-7)
+    # singleton {1}: round1 not participating -> only 0.2
+    np.testing.assert_allclose(utilities_dict[0][(1,)], 0.2, atol=1e-7)
+    # pair {0,1}: round0 avg(0.1,0.2)=0.15; round1 only client0 ratio 1 -> +0.05
+    np.testing.assert_allclose(utilities_dict[0][(0, 1)], 0.2, atol=1e-7)
+    # include_from_round=1 drops round 0
+    utilities2, ud2 = fs.compute_utilities_lazy(
+        num_clients=n, previous_utility=[0.0, 0.0],
+        client_deltas_all_rounds=deltas, client_selection_matrix=sel,
+        num_local_data=[1.0, 1.0, 1.0], eval_coalitions_fn=eval_fn,
+        all_subsets=all_subsets, utility_dim=2, current_round=1,
+        include_from_round=1,
+    )
+    np.testing.assert_allclose(ud2[0][(0,)], 0.05, atol=1e-7)
+    np.testing.assert_allclose(ud2[0][(1,)], 0.0, atol=1e-7)
+
+
+def test_optimal_subset_selection():
+    acc = {(0,): 0.1, (1,): 0.3, (0, 1): 0.5}
+    loss = {(0,): 0.5, (1,): 0.2, (0, 1): 0.1}
+    assert fs.get_optimal_subset(loss) == (0, 1)  # min loss
+    best = fs.get_optimal_subset_multi_objectives([[acc], [loss]])
+    assert best == (0, 1)  # max acc + min loss
+    d = fs.get_selection_dict(4, [1, 3])
+    assert d == {0: False, 1: True, 2: False, 3: True}
