@@ -56,6 +56,8 @@ class ViTSpec:
     lora_alpha: float = 8.0
     # numerics
     dtype: str = "float32"         # activation/compute dtype: float32 | bfloat16
+    # kernel selection: 'xla' einsum path or 'pallas' fused-attention kernel
+    attention_impl: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -222,11 +224,16 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
     k = proj(attn_p["k"], "k").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
     v = proj(attn_p["v"], "v").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
-        jnp.sqrt(jnp.float32(hd)), x.dtype
-    )
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if spec.attention_impl == "pallas":
+        from shapley_vit_tpu.ops.attention import fused_attention
+
+        ctx = fused_attention(q, k, v)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
+            jnp.sqrt(jnp.float32(hd)), x.dtype
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
     return ctx @ attn_p["out"]["kernel"].astype(x.dtype) + attn_p["out"]["bias"].astype(x.dtype)
 
@@ -280,6 +287,53 @@ def vit_forward(
     head = lora["classifier"] if lora is not None else base["classifier"]
     logits = cls_repr @ head["kernel"].astype(dt) + head["bias"].astype(dt)
     return logits.astype(jnp.float32)
+
+
+def merge_coalition_weights(base: PyTree, stacked_lora: PyTree, spec: ViTSpec) -> PyTree:
+    """Fold C stacked LoRA overlays into full per-coalition q/v kernels.
+
+    Under coalition-vmap the overlay costs two rank-16 matmuls per q/v per
+    layer per coalition — skinny contractions that strand most of the MXU's
+    128 lanes. Folding W_eff[c] = W + scale·A_c@B_c up front (a tiny one-off
+    einsum) makes the per-coalition forward a plain dense ViT, trading
+    ~2·L·D² bf16 bytes per coalition of HBM for full-width matmuls.
+
+    Returns the "varying" tree for the merged forward:
+    ``{"q_kernel": [C,L,D,D], "v_kernel": [C,L,D,D], "classifier": {...[C,...]}}``.
+    """
+    scaling = spec.lora_alpha / spec.lora_r
+
+    def fold(name):
+        delta = jnp.einsum(
+            "cldr,clre->clde",
+            stacked_lora["lora"][name]["A"],
+            stacked_lora["lora"][name]["B"],
+            precision="highest",
+        ) * scaling
+        kern = base["blocks"]["attn"][name]["kernel"]
+        return (kern[None] + delta).astype(spec.compute_dtype)
+
+    return {
+        "q_kernel": fold("q"),
+        "v_kernel": fold("v"),
+        "classifier": jax.tree.map(lambda x: x, stacked_lora["classifier"]),
+    }
+
+
+def vit_forward_merged(base: PyTree, merged: PyTree, images: jax.Array, spec: ViTSpec) -> jax.Array:
+    """Forward for ONE coalition of a merged tree (vmap over the leading C
+    axis of ``merged``): base with q/v kernels and the classifier overridden.
+    Identical math to ``vit_forward`` with the overlay folded in
+    (``test_merged_coalition_forward_matches_overlay``)."""
+    blocks = dict(base["blocks"])
+    attn = dict(blocks["attn"])
+    attn["q"] = {"kernel": merged["q_kernel"], "bias": attn["q"]["bias"]}
+    attn["v"] = {"kernel": merged["v_kernel"], "bias": attn["v"]["bias"]}
+    blocks["attn"] = attn
+    eff_base = dict(base)
+    eff_base["blocks"] = blocks
+    eff_base["classifier"] = merged["classifier"]
+    return vit_forward(eff_base, None, images, spec)
 
 
 def merge_lora(base: PyTree, lora: PyTree, spec: ViTSpec) -> PyTree:

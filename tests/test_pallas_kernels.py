@@ -1,0 +1,57 @@
+"""Pallas kernel correctness in interpreter mode (runs on the CPU mesh; the
+compiled-TPU path is exercised by bench tooling when SVT_ENABLE_PALLAS=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.ops import attention as att
+
+
+@pytest.mark.parametrize("N", [197, 128, 64])
+def test_fused_attention_interpret_matches_xla(rng, N):
+    B, H, D = 2, 3, 64
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    out = att._fused_attention_fwd_impl(q, k, v, interpret=True)
+    ref = att._xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_padding_mask_correct(rng):
+    """Padded key positions must contribute nothing: compare N=100 (padded to
+    128 inside the kernel) against the exact XLA result."""
+    B, H, N, D = 1, 2, 100, 32
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+    out = att._fused_attention_fwd_impl(q, k, v, interpret=True)
+    ref = att._xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_gradients_flow(rng):
+    B, H, N, D = 1, 2, 17, 8
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+
+    def f(q):
+        return jnp.sum(att.fused_attention(q, q, q) ** 2)
+
+    g = jax.grad(f)(q)
+    assert g.shape == q.shape and float(jnp.abs(g).sum()) > 0
+
+
+def test_vit_pallas_spec_flag_cpu_fallback(rng):
+    """attention_impl='pallas' on CPU falls back to XLA math — logits must be
+    identical to the default path."""
+    from shapley_vit_tpu.models import vit as jvit
+
+    spec_x = jvit.make_spec("micro")
+    spec_p = jvit.make_spec("micro").replace(attention_impl="pallas")
+    base = jvit.init_vit(jax.random.key(0), spec_x)
+    x = np.asarray(rng.normal(size=(2, 16, 16, 3)), np.float32)
+    out_x = np.asarray(jvit.vit_forward(base, None, x, spec_x))
+    out_p = np.asarray(jvit.vit_forward(base, None, x, spec_p))
+    np.testing.assert_allclose(out_x, out_p, atol=1e-5)
