@@ -1,0 +1,142 @@
+"""Tests: orbax pytree checkpoints, resumable utility tables, profiling
+spans, plot helpers, and the cent_sgd baseline end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.fl import checkpoint as ckpt
+from shapley_vit_tpu.shapley import TabularGame, shapley_exact
+from shapley_vit_tpu.shapley.game import additive_table
+from shapley_vit_tpu.utils.profiling import StepTimer, trace
+from shapley_vit_tpu.utils import plots
+
+
+def test_orbax_pytree_roundtrip(tmp_path, rng):
+    tree = {"a": rng.normal(size=(4, 3)).astype(np.float32),
+            "nested": {"b": np.arange(5)}}
+    path = str(tmp_path / "ckpt")
+    ckpt.save_pytree(path, tree)
+    back = ckpt.load_pytree(path)
+    np.testing.assert_allclose(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["nested"]["b"], tree["nested"]["b"])
+    # overwrite works (force=True)
+    ckpt.save_pytree(path, {"a": np.zeros(2)})
+    assert ckpt.load_pytree(path)["a"].shape == (2,)
+
+
+def test_utility_table_roundtrip(tmp_path):
+    table = {frozenset({0, 2}): [0.1, -0.5], frozenset({1}): [0.0, 1.0]}
+    path = str(tmp_path / "util.npz")
+    ckpt.save_utility_table(path, table)
+    back = ckpt.load_utility_table(path)
+    assert back.keys() == table.keys()
+    np.testing.assert_allclose(back[frozenset({0, 2})], [0.1, -0.5])
+    # missing file -> empty
+    assert ckpt.load_utility_table(str(tmp_path / "nope.npz")) == {}
+
+
+def test_resume_game_skips_reevaluation(tmp_path):
+    values = np.array([[1.0, 0.0], [2.0, 0.5], [3.0, -1.0]])
+    game1 = TabularGame(additive_table(values), n_all=3)
+    path = str(tmp_path / "util.npz")
+    ckpt.checkpointed_game(game1, path)
+    sv1 = shapley_exact(game1)
+    assert game1.num_evaluations == 7
+    assert os.path.exists(path)
+
+    # fresh game resumed from disk: zero evaluations needed
+    game2 = TabularGame(additive_table(values), n_all=3)
+    restored = ckpt.resume_game(game2, path)
+    assert restored == 7
+    sv2 = shapley_exact(game2)
+    assert game2.num_evaluations == 0
+    for d in range(2):
+        for c in range(3):
+            assert sv1[d][c] == pytest.approx(sv2[d][c])
+
+
+def test_step_timer_spans_and_throughput():
+    t = StepTimer()
+    for _ in range(3):
+        with t.span("work"):
+            sum(range(1000))
+    t.count("items", 30)
+    s = t.summary()
+    assert s["work"]["count"] == 3 and s["work"]["total_s"] > 0
+    assert s["items"]["count"] == 30
+    assert t.throughput("work", 300) > 0
+
+
+def test_trace_noop_without_dir():
+    with trace(None):
+        pass  # must not raise or start a profiler
+
+
+def test_plot_series_and_bands(tmp_path, rng):
+    import pandas as pd
+
+    p1 = str(tmp_path / "s.png")
+    plots.plot_series([0.1, 0.5, 0.7], title="acc", save=True, save_path=p1)
+    assert os.path.getsize(p1) > 0
+
+    p2 = str(tmp_path / "m.png")
+    plots.plot_series_mul([[0.1, 0.2], [0.3, 0.4]], save=True, save_path=p2)
+    assert os.path.getsize(p2) > 0
+
+    np.testing.assert_array_equal(
+        plots.monotone_curve([0.1, 0.3, 0.2, 0.5]), [0.1, 0.3, 0.3, 0.5]
+    )
+
+    df = pd.DataFrame({
+        "epoch": [0, 0, 1, 1] * 2,
+        "acc": rng.random(8),
+        "method": ["a"] * 4 + ["b"] * 4,
+    })
+    agg = plots.mean_std_df(df, ["method", "epoch"], ["acc"])
+    assert "acc_mean" in agg.columns and "acc_std" in agg.columns
+    p3 = str(tmp_path / "band.png")
+    plots.nice_plot(df, "epoch", "acc", group_by="method", save_path=p3)
+    assert os.path.getsize(p3) > 0
+    p4 = str(tmp_path / "bar.png")
+    plots.nice_bar(df, "epoch", "acc", group_by="method", save_path=p4)
+    assert os.path.getsize(p4) > 0
+    p5 = str(tmp_path / "multi.png")
+    df2 = pd.DataFrame({"epoch": [0, 1, 0, 1], "acc": rng.random(4), "auc": rng.random(4)})
+    plots.nice_plot_multi_columns(df2, "epoch", ["acc", "auc"], save_path=p5)
+    assert os.path.getsize(p5) > 0
+
+
+def test_client_histogram(tmp_path, rng):
+    labels = rng.integers(0, 4, 100)
+    idcs = {0: list(range(50)), 1: list(range(50, 100))}
+    p = str(tmp_path / "hist.png")
+    plots.plot_client_histogram(labels, idcs, 4, save_path=p)
+    assert os.path.getsize(p) > 0
+
+
+def test_cent_sgd_end_to_end(tmp_path):
+    """Mini cent_sgd run: MLP on synthetic mnist, 1 experiment, 2 epochs."""
+    from shapley_vit_tpu.driver import cent_sgd
+
+    args = cent_sgd.argparser().parse_args([
+        "--dataset", "mnist", "--model", "MLP", "--num_exp", "1",
+        "--epoch_train", "2", "--batch_train", "64", "--lr", "0.05",
+        "--save_root", str(tmp_path / "result"), "--save_curves",
+    ])
+    args = cent_sgd.set_path(args)
+    summary = cent_sgd.main(args)
+    assert 0.0 <= summary["acc_mean"] <= 1.0
+    out = args.save_path
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    assert os.path.exists(os.path.join(out, "curves.npz"))
+    assert os.path.exists(os.path.join(out, "checkpoint_exp0.npz"))
+    assert os.path.exists(os.path.join(out, "acc.png"))
+    # exp_seq.txt bookkeeping increments (cent_sgd.py:46-63)
+    with open(os.path.join(str(tmp_path / "result"), "exp_seq.txt")) as f:
+        assert f.read() == "0"
+    args2 = cent_sgd.set_path(cent_sgd.argparser().parse_args(
+        ["--save_root", str(tmp_path / "result")]
+    ))
+    assert args2.exp_seq == "1"
