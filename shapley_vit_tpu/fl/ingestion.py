@@ -127,14 +127,39 @@ def wait_for_checkpoints(
     policy: str = "wait",
     log_fn: Optional[Callable[[str], None]] = None,
     _sleep=time.sleep,
+    use_native: bool = True,
 ) -> WatchResult:
-    """Poll until every path exists (atomic-rename protocol: existence ==
+    """Wait until every path exists (atomic-rename protocol: existence ==
     completeness). ``policy`` on timeout: 'wait' ignores the timeout
     (reference start.py:212-219 blocks forever), 'skip' returns with the
-    subset that arrived, 'fail' raises TimeoutError."""
+    subset that arrived, 'fail' raises TimeoutError.
+
+    Backend: the native inotify watcher (csrc/svt_runtime.cpp) when built —
+    event-driven, no 1s sleep loop — else pure-Python polling."""
     if policy not in ("wait", "skip", "fail"):
         raise ValueError(f"unknown straggler policy {policy!r}")
     start = time.time()
+
+    if use_native:
+        try:
+            from shapley_vit_tpu.fl import native
+
+            if native.native_available():
+                eff_timeout = None if policy == "wait" else timeout
+                arrived, count = native.wait_for_files(paths, timeout=eff_timeout)
+                elapsed = time.time() - start
+                if count == len(paths):
+                    return WatchResult(list(paths), arrived, elapsed)
+                if policy == "fail":
+                    missing = [p for p, a in zip(paths, arrived) if not a]
+                    raise TimeoutError(f"clients never delivered: {missing}")
+                return WatchResult(
+                    [p if a else None for p, a in zip(paths, arrived)],
+                    arrived,
+                    elapsed,
+                )
+        except (OSError, RuntimeError):
+            pass  # fall through to polling
     while True:
         arrived = [os.path.exists(p) for p in paths]
         if all(arrived):

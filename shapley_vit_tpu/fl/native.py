@@ -1,0 +1,115 @@
+"""ctypes bindings for the native runtime (csrc/svt_runtime.cpp).
+
+The C++ library provides the inotify checkpoint watcher (replacing the
+reference's 1s polling loop, start.py:212-219) and a multithreaded file
+preloader for bulk ingestion. Build with ``make -C csrc``; all entry points
+degrade gracefully to pure-Python when the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+    "libsvt_runtime.so",
+)
+_lib = None
+
+
+def build_native(force: bool = False) -> bool:
+    """Build libsvt_runtime.so via make. Returns True on success."""
+    csrc = os.path.dirname(_LIB_PATH)
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load_native(auto_build: bool = True):
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if not auto_build or not build_native():
+            return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.svt_wait_for_files.restype = ctypes.c_int
+    lib.svt_wait_for_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.svt_preload_files.restype = ctypes.c_int
+    lib.svt_preload_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
+    lib.svt_file_size.restype = ctypes.c_int64
+    lib.svt_file_size.argtypes = [ctypes.c_char_p]
+    lib.svt_version.restype = ctypes.c_char_p
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def wait_for_files(
+    paths: Sequence[str], timeout: Optional[float] = None
+) -> Tuple[List[bool], int]:
+    """inotify-blocking wait until every path exists.
+
+    Returns (arrived flags, count present). ``timeout=None`` waits forever
+    (the reference's behavior contract, start.py:212-219).
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("libsvt_runtime.so not built (run make -C csrc)")
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    arrived = (ctypes.c_int * n)()
+    timeout_ms = -1 if timeout is None else int(timeout * 1000)
+    count = lib.svt_wait_for_files(c_paths, n, timeout_ms, arrived)
+    if count < 0:
+        raise OSError("svt_wait_for_files failed")
+    return [bool(a) for a in arrived], count
+
+
+def preload_files(paths: Sequence[str], threads: int = 0) -> List[Optional[bytes]]:
+    """Read many files concurrently via the native thread pool. Returns file
+    contents (None for unreadable entries)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("libsvt_runtime.so not built (run make -C csrc)")
+    n = len(paths)
+    sizes_in = [lib.svt_file_size(p.encode()) for p in paths]
+    bufs = [
+        (ctypes.c_uint8 * max(int(s), 1))() if s >= 0 else (ctypes.c_uint8 * 1)()
+        for s in sizes_in
+    ]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_bufs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[ctypes.cast(b, ctypes.POINTER(ctypes.c_uint8)) for b in bufs]
+    )
+    caps = (ctypes.c_int64 * n)(*[max(int(s), 0) for s in sizes_in])
+    out_sizes = (ctypes.c_int64 * n)()
+    lib.svt_preload_files(c_paths, n, c_bufs, caps, out_sizes, threads)
+    results: List[Optional[bytes]] = []
+    for i in range(n):
+        if out_sizes[i] < 0:
+            results.append(None)
+        else:
+            results.append(bytes(bytearray(bufs[i][: out_sizes[i]])))
+    return results

@@ -1,0 +1,85 @@
+"""Native runtime (C++ inotify watcher + preloader) tests. Builds the
+library via make on first use; skips if no toolchain."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.fl import ingestion, native
+
+pytestmark = pytest.mark.skipif(
+    not native.build_native(), reason="native toolchain unavailable"
+)
+
+
+def test_version_string():
+    lib = native.load_native()
+    assert b"svt_runtime" in lib.svt_version()
+
+
+def test_wait_for_files_immediate(tmp_path):
+    p = str(tmp_path / "x.npz")
+    open(p, "w").write("d")
+    arrived, count = native.wait_for_files([p], timeout=1.0)
+    assert arrived == [True] and count == 1
+
+
+def test_wait_for_files_detects_atomic_rename(tmp_path):
+    p1 = str(tmp_path / "a.npz")
+    p2 = str(tmp_path / "later" / "b.npz")  # parent dir doesn't exist yet
+    open(p1, "w").write("d")
+
+    def deliver():
+        time.sleep(0.25)
+        os.makedirs(os.path.dirname(p2), exist_ok=True)
+        tmp = p2 + ".tmp"
+        open(tmp, "w").write("y")
+        os.replace(tmp, p2)  # the atomic protocol
+
+    t = threading.Thread(target=deliver)
+    t.start()
+    t0 = time.time()
+    arrived, count = native.wait_for_files([p1, p2], timeout=5.0)
+    latency = time.time() - t0
+    t.join()
+    assert count == 2 and all(arrived)
+    assert latency < 2.0  # event-driven, not a 1s-per-cycle poll
+
+
+def test_wait_for_files_timeout(tmp_path):
+    arrived, count = native.wait_for_files(
+        [str(tmp_path / "never.npz")], timeout=0.2
+    )
+    assert arrived == [False] and count == 0
+
+
+def test_preload_files_contents_and_errors(tmp_path, rng):
+    paths = []
+    blobs = []
+    for i in range(8):
+        blob = rng.bytes(1000 + i * 37)
+        p = str(tmp_path / f"f{i}.bin")
+        open(p, "wb").write(blob)
+        paths.append(p)
+        blobs.append(blob)
+    paths.append("/nonexistent/file")
+    out = native.preload_files(paths, threads=4)
+    for got, want in zip(out[:-1], blobs):
+        assert got == want
+    assert out[-1] is None
+
+
+def test_ingestion_uses_native_backend(tmp_path):
+    """wait_for_checkpoints routes through the inotify watcher when built."""
+    p = str(tmp_path / "ck.npz")
+    ingestion.atomic_save_npz(p, {"x": np.zeros(1)})
+    r = ingestion.wait_for_checkpoints([p], timeout=1.0, policy="fail")
+    assert r.arrived == [True]
+    # skip policy with native backend
+    r = ingestion.wait_for_checkpoints(
+        [p, str(tmp_path / "missing.npz")], timeout=0.2, policy="skip"
+    )
+    assert r.arrived == [True, False] and r.paths[1] is None
