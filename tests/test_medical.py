@@ -1,0 +1,75 @@
+"""Medical loader tests on synthetic on-disk layouts."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.data import medical
+
+
+@pytest.fixture
+def isic_tree(tmp_path, rng):
+    img_dir = tmp_path / "ISIC_2019_Training_Input"
+    img_dir.mkdir()
+    from PIL import Image
+
+    rows = []
+    for i in range(6):
+        name = f"ISIC_{i:07d}"
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(
+            img_dir / f"{name}.jpg"
+        )
+        onehot = {c: 0.0 for c in medical.ISIC_CLASSES}
+        onehot[medical.ISIC_CLASSES[i % 3]] = 1.0
+        rows.append({"image": name, **onehot})
+    with open(tmp_path / "ISIC_2019_Training_GroundTruth.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image"] + medical.ISIC_CLASSES)
+        w.writeheader()
+        w.writerows(rows)
+    return tmp_path
+
+
+def test_load_isic(isic_tree):
+    ds = medical.load_isic(str(isic_tree), image_size=32)
+    assert len(ds) == 6
+    assert ds.images.shape == (6, 32, 32, 3)
+    assert set(np.unique(ds.labels)) == {0, 1, 2}
+    assert ds.names[0].startswith("ISIC_")
+
+
+def test_load_isic_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        medical.load_isic(str(tmp_path))
+
+
+def test_load_dr_kaggle(tmp_path, rng):
+    from PIL import Image
+
+    (tmp_path / "train").mkdir()
+    with open(tmp_path / "trainLabels.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["image", "level"])
+        w.writeheader()
+        for i in range(4):
+            name = f"img_{i}"
+            Image.fromarray((rng.random((30, 30, 3)) * 255).astype(np.uint8)).save(
+                tmp_path / "train" / f"{name}.jpeg"
+            )
+            w.writerow({"image": name, "level": i % 5})
+    ds = medical.load_dr_kaggle(str(tmp_path), image_size=24, max_samples=3)
+    assert len(ds) == 3 and ds.images.shape == (3, 24, 24, 3)
+
+
+def test_load_imagefolder(tmp_path, rng):
+    from PIL import Image
+
+    for cls in ("covid", "normal", "pneumonia"):
+        (tmp_path / cls).mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((20, 20)) * 255).astype(np.uint8)).convert(
+                "RGB"
+            ).save(tmp_path / cls / f"{i}.png")
+    ds = medical.load_imagefolder(str(tmp_path), image_size=16)
+    assert len(ds) == 6
+    assert ds.classes == ["covid", "normal", "pneumonia"]
