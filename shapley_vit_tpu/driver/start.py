@@ -190,6 +190,25 @@ def get_initial_shapley_value(
     rng = np.random.default_rng(cfg.shapley.seed)
     shapley_value = call_shapley_computation_method({}, game, logger, rng=rng)
 
+    # export the post-round FedAvg global overlay to GLOBAL_MODEL_PATH (the
+    # .env contract's third path — the reference's out-of-repo FL loop reads
+    # the global model from there)
+    if cfg.paths.global_model_path:
+        participating = [i for i, s in enumerate(selection) if s]
+        if participating:
+            ratio = tm.fedavg_ratio(
+                [clients[i].num_local_data_train for i in participating]
+            )
+            agg = tm.aggregate_deltas(
+                tm.tree_stack([deltas[i] for i in participating]), ratio
+            )
+            global_overlay = tm.apply_deltas(init_lora, agg)
+            ingestion.save_lora_checkpoint(
+                os.path.join(cfg.paths.global_model_path, "ViT_global.npz"),
+                global_overlay,
+                spec,
+            )
+
     # persist the utility table for resume (SURVEY.md §5 checkpoint/resume)
     if cfg.shapley.persist_utility_table:
         out = cfg.ensure_output_dir()

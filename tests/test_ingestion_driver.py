@@ -103,6 +103,7 @@ def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
     cfg.data.eval_batch_size = 32
     cfg.obs.exp_dir = str(tmp_path / "exp")
     cfg.paths.validation_dataset = str(tmp_path / "no_oct_here")  # -> synthetic
+    cfg.paths.global_model_path = str(tmp_path / "global")
     cfg.shapley.seed = 0
 
     # fake clients: init + noise, written with the atomic protocol
@@ -137,3 +138,5 @@ def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
     # utility table has at most 7 coalitions for n=3
     with np.load(os.path.join(out, "utility_table.npz")) as z:
         assert 1 <= len(z.files) <= 7
+    # global-model export honoured the GLOBAL_MODEL_PATH contract
+    assert os.path.exists(os.path.join(str(tmp_path / "global"), "ViT_global.npz"))
