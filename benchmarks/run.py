@@ -1,0 +1,157 @@
+"""Benchmark-suite runner — the five BASELINE.json configs.
+
+  1  ViT-Tiny/16,  CIFAR-10,  3 clients, exact Shapley (8 coalitions)
+  2  ViT-Small/16, CIFAR-100, 5 clients, exact Shapley, batched eval
+  3  ViT-B/16,     ImageNet-subset shapes, 8 clients, permutation-MC Shapley
+  4  ViT-B/16,     10 clients non-IID Dirichlet, truncated-MC (GTG)
+  5  ViT-L/16,     16 clients, group-testing (Fed-SV) approximation
+
+Each config builds synthetic client deltas at the real model shapes, runs the
+estimator over ONE batched coalition-eval primitive, and prints a JSON line
+with wall-clock, distinct coalition evaluations, and coalition-evals/s.
+
+Usage: python benchmarks/run.py --config 1 [--val-size 256] [--batch 128]
+       python benchmarks/run.py --all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CONFIGS = {
+    1: dict(variant="tiny", image=32, classes=10, clients=3, estimator="exact"),
+    2: dict(variant="small", image=32, classes=100, clients=5, estimator="exact"),
+    3: dict(variant="base", image=224, classes=1000, clients=8, estimator="monte_carlo", mc_m=20),
+    4: dict(variant="base", image=224, classes=4, clients=10, estimator="gtg", dirichlet=0.3),
+    5: dict(variant="large", image=224, classes=4, clients=16, estimator="fed_sv"),
+}
+
+
+def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
+    import jax
+
+    from shapley_vit_tpu.fl import evaluation as ev
+    from shapley_vit_tpu.models import vit as jvit
+    from shapley_vit_tpu.ops import tree_math as tm
+    from shapley_vit_tpu.shapley import (
+        Fed_SV,
+        GTG,
+        Game,
+        shapley_exact,
+        shapley_monte_carlo,
+    )
+
+    cfg = CONFIGS[idx]
+    n = cfg["clients"]
+    spec = jvit.make_spec(
+        cfg["variant"], image=cfg["image"], num_classes=cfg["classes"],
+        dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
+    )
+    base = jvit.init_vit(jax.random.key(seed), spec)
+    lora0 = jvit.init_lora(jax.random.key(seed + 1), spec, classifier_from=base)
+    leaves, treedef = jax.tree.flatten(lora0)
+    deltas = [
+        treedef.unflatten([
+            0.02 * jax.random.normal(k, l.shape)
+            for k, l in zip(jax.random.split(jax.random.key(seed + 10 + i), len(leaves)), leaves)
+        ])
+        for i in range(n)
+    ]
+    stacked = tm.tree_stack(deltas)
+
+    # client data sizes: uniform, or Dirichlet-skewed for config 4
+    if cfg.get("dirichlet"):
+        sizes = (
+            np.random.default_rng(seed).dirichlet([cfg["dirichlet"]] * n) * 10000 + 10
+        ).astype(int).tolist()
+    else:
+        sizes = [1000] * n
+
+    rng = np.random.default_rng(seed)
+    images = jax.device_put(
+        rng.normal(size=(val_size, spec.image, spec.image, 3)).astype(np.float32)
+    )
+    labels = jax.device_put(rng.integers(0, spec.num_classes, size=val_size))
+    jax.block_until_ready(images)
+    data = [
+        (images[i : i + batch], labels[i : i + batch])
+        for i in range(0, val_size, batch)
+    ]
+
+    evaluator = ev.make_coalition_evaluator(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+        coalition_chunk=16 if cfg["variant"] == "large" else 0,
+    )
+    mat = jax.jit(tm.materialize_coalitions)
+
+    def eval_fn(W):
+        return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
+
+    game = Game(
+        eval_coalitions_fn=eval_fn,
+        num_local_data=sizes,
+        client_selection_vector=[True] * n,
+        previous_utility=[0.0, 0.0],
+    )
+
+    est_rng = np.random.default_rng(seed + 99)
+    t0 = time.time()
+    if cfg["estimator"] == "exact":
+        sv = shapley_exact(game)
+    elif cfg["estimator"] == "monte_carlo":
+        sv = shapley_monte_carlo(game, m=cfg.get("mc_m", 20), rng=est_rng)
+    elif cfg["estimator"] == "gtg":
+        gtg = GTG(utility_index=0, rng=est_rng)
+        gtg.CONVERGE_MIN_K = 3 * n
+        sv = [gtg.compute_shapley_value(game, t=0)]
+    elif cfg["estimator"] == "fed_sv":
+        fsv = Fed_SV(utility_index=0, rng=est_rng)
+        fsv.CONVERGE_MIN_K = 4 * n
+        sv = [fsv.compute_shapley_value(game, t=0)]
+    else:
+        raise ValueError(cfg["estimator"])
+    wall = time.time() - t0
+
+    return {
+        "config": idx,
+        "model": f"ViT-{cfg['variant']}/{spec.patch}",
+        "clients": n,
+        "estimator": cfg["estimator"],
+        "val_size": val_size,
+        "distinct_coalition_evals": game.num_evaluations,
+        "wall_clock_s": round(wall, 2),
+        "coalition_evals_per_s": round(game.num_evaluations / wall, 3) if wall > 0 else None,
+        "sv_dims": len(sv),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, choices=sorted(CONFIGS), default=1)
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--val-size", type=int, default=256)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    configs = sorted(CONFIGS) if args.all else [args.config]
+    results = []
+    for idx in configs:
+        res = run_config(idx, args.val_size, args.batch)
+        print(json.dumps(res))
+        results.append(res)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
