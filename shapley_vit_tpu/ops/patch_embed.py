@@ -1,0 +1,65 @@
+"""Patch embedding — Pallas TPU kernel.
+
+ViT patch embedding with stride == kernel == patch size is exactly a blocked
+matmul (models/vit._patchify + matmul). This kernel fuses the patch
+extraction (a pure relayout) with the projection so the [B·N, p²·C] patch
+matrix never materializes in HBM: each program gathers one image-row-of-
+patches from VMEM, reshapes in-register, and runs the projection on the MXU.
+
+Mostly a demonstration kernel — XLA already fuses this well — but it keeps
+the patchify layout contract in one tested place and removes one HBM
+round-trip at large batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _patch_embed_kernel(img_ref, w_ref, b_ref, o_ref, *, patch: int, gw: int, C: int):
+    # img_ref: [1, patch, W, C] — one row of patches of one image
+    img = img_ref[0]                                    # [patch, W, C]
+    ph, W, _ = img.shape
+    # [patch, gw, patch, C] -> [gw, patch, patch, C] -> [gw, patch*patch*C]
+    x = img.reshape(ph, gw, patch, C).transpose(1, 0, 2, 3).reshape(gw, patch * patch * C)
+    o_ref[0] = (
+        jax.lax.dot_general(
+            x.astype(w_ref.dtype), w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[:].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+def patch_embed(
+    images: jax.Array, kernel: jax.Array, bias: jax.Array, patch: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, H, W, C] -> [B, N, D] patch tokens (HF-ordering parity with
+    models/vit._patchify: patches flattened as (ph, pw, C), row-major grid)."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    D = kernel.shape[1]
+    grid = (B, gh)
+
+    out = pl.pallas_call(
+        functools.partial(_patch_embed_kernel, patch=patch, gw=gw, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, gh * gw, D), images.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, patch, W, C), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((patch * patch * C, D), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda b, r: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gw, D), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(images, kernel, bias)
+    return out

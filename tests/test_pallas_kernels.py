@@ -43,6 +43,42 @@ def test_fused_attention_gradients_flow(rng):
     assert g.shape == q.shape and float(jnp.abs(g).sum()) > 0
 
 
+def test_fused_mlp_block_matches_reference_math(rng):
+    from shapley_vit_tpu.ops.mlp_block import fused_mlp_block
+
+    M, D, H = 100, 64, 256  # unaligned M exercises the row padding
+    x = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, H)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, D)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+
+    got = fused_mlp_block(x, ls, lb, w1, b1, w2, b2, eps=1e-12,
+                          block_rows=64, interpret=True)
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-12) * ls + lb
+    ref = x + (jax.nn.gelu(y @ w1 + b1, approximate=False) @ w2 + b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_patch_embed_kernel_matches_patchify(rng):
+    from shapley_vit_tpu.models.vit import _patchify
+    from shapley_vit_tpu.ops.patch_embed import patch_embed
+
+    B, Hh, Ww, C, p, D = 2, 16, 16, 3, 4, 32
+    images = jnp.asarray(rng.normal(size=(B, Hh, Ww, C)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(p * p * C, D)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    got = patch_embed(images, kernel, bias, p, interpret=True)
+    ref = _patchify(images, p) @ kernel + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
 def test_vit_pallas_spec_flag_cpu_fallback(rng):
     """attention_impl='pallas' on CPU falls back to XLA math — logits must be
     identical to the default path."""
