@@ -27,9 +27,11 @@ N_CLIENTS = 3
 
 def main():
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from shapley_vit_tpu.fl import evaluation as ev
+    from shapley_vit_tpu.fl.evaluation import eval_step_metrics
     from shapley_vit_tpu.models import vit as jvit
     from shapley_vit_tpu.ops import tree_math as tm
 
@@ -51,24 +53,48 @@ def main():
     W = tm.coalition_weight_matrix(coalitions, [120, 300, 580], N_CLIENTS)
 
     rng = np.random.default_rng(0)
+    nb = VAL_SET // BATCH
     images = jax.device_put(
-        rng.normal(size=(VAL_SET, spec.image, spec.image, 3)).astype(np.float32)
+        rng.normal(size=(nb, BATCH, spec.image, spec.image, 3)).astype(np.float32)
     )
-    labels = jax.device_put(rng.integers(0, 4, size=VAL_SET))
+    labels = jax.device_put(rng.integers(0, 4, size=(nb, BATCH)))
     jax.block_until_ready(images)
-    data = [
-        (images[i : i + BATCH], labels[i : i + BATCH]) for i in range(0, VAL_SET, BATCH)
-    ]
+    Wd = jnp.asarray(W)
 
-    fwd = lambda b, lora, x: jvit.vit_forward(b, lora, x, spec)
-    evaluator = ev.make_coalition_evaluator(fwd)
-    mat = jax.jit(tm.materialize_coalitions)
+    # fully-fused round: LoRA folded into per-coalition dense q/v weights
+    # (merged mode), scan over device-resident batches, ONE dispatch per
+    # round — the fastest measured configuration (see PARITY/README notes)
+    @jax.jit
+    def fused_round(base, lora0, stacked, Wm, ims, labs):
+        stacked_lora = tm.materialize_coalitions(lora0, stacked, Wm)
+        merged = jvit.merge_coalition_weights(base, stacked_lora, spec)
+        vstep = jax.vmap(
+            lambda b, m, x, y: eval_step_metrics(
+                jvit.vit_forward_merged(b, m, x, spec), y
+            ),
+            in_axes=(None, 0, None, None),
+        )
+
+        def body(carry, xy):
+            c, l = vstep(base, merged, xy[0], xy[1])
+            return (carry[0] + c, carry[1] + l), None
+
+        C = Wm.shape[0]
+        (correct, loss), _ = jax.lax.scan(
+            body, (jnp.zeros(C), jnp.zeros(C)), (ims, labs)
+        )
+        return correct / VAL_SET, loss / VAL_SET
 
     def one_round():
-        stacked_lora = mat(lora0, stacked, W)
-        return evaluator(base, stacked_lora, data, dataset_size=VAL_SET)
+        acc, loss = fused_round(base, lora0, stacked, Wd, images, labels)
+        return np.stack([np.asarray(acc), np.asarray(loss)], axis=1)
 
-    one_round()  # compile + warm-up
+    result = one_round()  # compile + warm-up
+    # (fused-vs-evaluator equivalence is covered by
+    # tests/test_evaluation.py::test_fused_bench_round_matches_evaluator;
+    # keeping bench.py to ONE compiled program matters — this container's
+    # remote compile service can take minutes per large program)
+
     reps = 3
     t0 = time.time()
     for _ in range(reps):

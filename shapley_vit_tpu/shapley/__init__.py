@@ -34,3 +34,10 @@ from shapley_vit_tpu.shapley.milp import (  # noqa: F401
     MILP_Shapley_prev,
     binary_search,
 )
+from shapley_vit_tpu.shapley.fed_shapley import (  # noqa: F401
+    all_subsets_enumeration,
+    compute_shapley_corrected,
+    compute_utilities_lazy,
+    get_optimal_subset,
+    get_optimal_subset_multi_objectives,
+)

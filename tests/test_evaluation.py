@@ -83,6 +83,67 @@ def test_coalition_evaluator_matches_serial(rng):
         np.testing.assert_allclose(batched[c, 1], loss, rtol=1e-5)
 
 
+def test_fused_bench_round_matches_evaluator(rng):
+    """bench.py's fused merged-weights scan round must equal the
+    serial-compatible evaluator (micro scale, CPU)."""
+    import jax.numpy as jnp
+
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
+    leaves, treedef = jax.tree.flatten(lora0)
+    deltas = [
+        treedef.unflatten([
+            0.05 * jax.random.normal(k, l.shape)
+            for k, l in zip(jax.random.split(jax.random.key(i), len(leaves)), leaves)
+        ])
+        for i in range(3)
+    ]
+    stacked = tm.tree_stack(deltas)
+    W = tm.coalition_weight_matrix(
+        [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]], [12, 30, 58], 3
+    )
+    nb, bs = 2, 8
+    images = jnp.asarray(rng.normal(size=(nb, bs, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=(nb, bs)))
+    n_total = nb * bs
+
+    @jax.jit
+    def fused_round(base, lora0, stacked, Wm, ims, labs):
+        stacked_lora = tm.materialize_coalitions(lora0, stacked, Wm)
+        merged = jvit.merge_coalition_weights(base, stacked_lora, spec)
+        vstep = jax.vmap(
+            lambda b, m, x, y: ev.eval_step_metrics(
+                jvit.vit_forward_merged(b, m, x, spec), y
+            ),
+            in_axes=(None, 0, None, None),
+        )
+
+        def body(carry, xy):
+            c, l = vstep(base, merged, xy[0], xy[1])
+            return (carry[0] + c, carry[1] + l), None
+
+        C = Wm.shape[0]
+        (correct, loss), _ = jax.lax.scan(
+            body, (jnp.zeros(C), jnp.zeros(C)), (ims, labs)
+        )
+        return correct / n_total, loss / n_total
+
+    acc, loss = fused_round(base, lora0, stacked, jnp.asarray(W), images, labels)
+    fused = np.stack([np.asarray(acc), np.asarray(loss)], axis=1)
+
+    evaluator = ev.make_coalition_evaluator(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec)
+    )
+    check = evaluator(
+        base,
+        tm.materialize_coalitions(lora0, stacked, W),
+        [(images[i], labels[i]) for i in range(nb)],
+        dataset_size=n_total,
+    )
+    np.testing.assert_allclose(fused, check, atol=1e-5, rtol=1e-4)
+
+
 def test_coalition_evaluator_chunking_equivalence(rng):
     spec = jvit.make_spec("micro")
     base = jvit.init_vit(jax.random.key(0), spec)
