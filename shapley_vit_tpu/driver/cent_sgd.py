@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import time
-from typing import List
 
 import numpy as np
 

@@ -158,7 +158,7 @@ class TabularGame(Game):
 
 def additive_table(values: np.ndarray) -> Dict[FrozenSet[int], np.ndarray]:
     """Closed-form additive game u(S) = Σ_{i∈S} v_i (exact SV = v_i)."""
-    from itertools import chain, combinations
+    from itertools import combinations
 
     n, dim = values.shape
     table = {}

@@ -11,7 +11,7 @@ the dataframe contracts (group/aggregate column naming) match the reference.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
