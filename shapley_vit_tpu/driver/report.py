@@ -1,0 +1,128 @@
+"""Round reporting: render Shapley results into CSV + plots.
+
+The reference's reporting is scattered prints plus offline plotly notebooks
+(SURVEY.md §5 observability). This consolidates a round's outputs — per-client
+SV per utility dim, the coalition-utility table, timing — into one artifact
+directory: ``shapley_round.csv``, ``utility_table.csv``, ``sv_bar.png``,
+``sv_rounds.png`` (when multiple rounds are given).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+UTILITY_NAMES = {0: "accuracy", 1: "loss"}  # reference start.py:88-91 utility_map
+
+
+def write_shapley_csv(
+    path: str, shapley_value: Sequence[Dict[int, float]],
+    round_idx: int = 0, append: bool = True,
+) -> None:
+    """Rows: round, utility_dim_name, client_id, sv."""
+    new = not (append and os.path.exists(path))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a" if append else "w", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["round", "utility", "client_id", "shapley_value"])
+        for dim, sv in enumerate(shapley_value):
+            name = UTILITY_NAMES.get(dim, str(dim))
+            for cid in sorted(sv):
+                w.writerow([round_idx, name, cid, sv[cid]])
+
+
+def write_utility_table_csv(path: str, utility: Dict, utility_dim: int = 2) -> None:
+    """Dump the Game memo: coalition members + per-dim utilities."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["coalition"] + [UTILITY_NAMES.get(i, str(i)) for i in range(utility_dim)])
+        for key in sorted(utility, key=lambda k: (len(k), sorted(k))):
+            w.writerow(["|".join(map(str, sorted(key)))] + list(utility[key]))
+
+
+def plot_shapley_bar(
+    shapley_value: Sequence[Dict[int, float]], save_path: str, title: str = "Shapley values",
+) -> None:
+    """Per-client grouped bars, one group color per utility dim."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dims = len(shapley_value)
+    clients = sorted(shapley_value[0])
+    width = 0.8 / dims
+    fig, ax = plt.subplots(figsize=(1.2 * len(clients) + 3, 4))
+    for d in range(dims):
+        xs = np.arange(len(clients)) + d * width
+        ax.bar(xs, [shapley_value[d][c] for c in clients], width=width,
+               label=UTILITY_NAMES.get(d, str(d)))
+    ax.set_xticks(np.arange(len(clients)) + 0.4 - width / 2)
+    ax.set_xticklabels([f"client {c}" for c in clients])
+    ax.axhline(0, color="k", linewidth=0.8)
+    ax.set_title(title)
+    ax.legend()
+    ax.grid(alpha=0.3, axis="y")
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_shapley_rounds(
+    per_round: Sequence[Sequence[Dict[int, float]]], save_path: str, dim: int = 0,
+) -> None:
+    """SV trajectory across rounds for one utility dim (one line per client)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    clients = sorted(per_round[0][dim])
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for c in clients:
+        ax.plot(
+            range(len(per_round)), [sv[dim].get(c, 0.0) for sv in per_round],
+            marker="o", label=f"client {c}",
+        )
+    ax.set_xlabel("round")
+    ax.set_ylabel(f"SV ({UTILITY_NAMES.get(dim, dim)})")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def render_round_report(
+    out_dir: str,
+    shapley_value: Sequence[Dict[int, float]],
+    game=None,
+    round_idx: int = 0,
+    timer=None,
+) -> List[str]:
+    """One call per round; returns created artifact paths."""
+    paths = []
+    p = os.path.join(out_dir, "shapley_round.csv")
+    write_shapley_csv(p, shapley_value, round_idx)
+    paths.append(p)
+    if game is not None and game.utility:
+        p = os.path.join(out_dir, f"utility_table_r{round_idx}.csv")
+        write_utility_table_csv(p, game.utility, game.utility_dim)
+        paths.append(p)
+    p = os.path.join(out_dir, f"sv_bar_r{round_idx}.png")
+    plot_shapley_bar(shapley_value, p, title=f"Shapley values — round {round_idx}")
+    paths.append(p)
+    if timer is not None:
+        p = os.path.join(out_dir, f"timing_r{round_idx}.csv")
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["span", "count", "total_s", "mean_s", "max_s"])
+            for name, s in timer.summary().items():
+                w.writerow([name, s.get("count"), s.get("total_s"), s.get("mean_s"), s.get("max_s")])
+        paths.append(p)
+    return paths
