@@ -35,7 +35,9 @@ def main():
     from shapley_vit_tpu.models import vit as jvit
     from shapley_vit_tpu.ops import tree_math as tm
 
-    spec = jvit.make_spec("base", num_classes=4, dtype="bfloat16")
+    # production fast-eval config: bf16 + tanh GELU (99.2% argmax agreement
+    # with the exact-f32 parity mode, +21% throughput — tools/gelu_experiments)
+    spec = jvit.make_spec("base", num_classes=4, dtype="bfloat16", gelu="tanh")
     base = jvit.init_vit(jax.random.key(0), spec)
     lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
     leaves, treedef = jax.tree.flatten(lora0)

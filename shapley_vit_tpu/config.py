@@ -117,6 +117,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     matmul_precision: str = "default"
+    # GELU flavor: exact_f32 (HF parity) | exact | tanh (fast TPU eval)
+    gelu: str = "exact_f32"
 
 
 @dataclass

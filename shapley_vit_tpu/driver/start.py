@@ -62,6 +62,7 @@ def build_model(cfg: Config, key=None):
         lora_r=cfg.model.lora_r,
         lora_alpha=cfg.model.lora_alpha,
         dtype=cfg.model.compute_dtype,
+        gelu=cfg.model.gelu,
     )
     k1, k2 = jax.random.split(key)
     base = jvit.init_vit(k1, spec)

@@ -58,6 +58,10 @@ class ViTSpec:
     dtype: str = "float32"         # activation/compute dtype: float32 | bfloat16
     # kernel selection: 'xla' einsum path or 'pallas' fused-attention kernel
     attention_impl: str = "xla"
+    # GELU flavor: 'exact_f32' (HF parity: erf in f32), 'exact' (erf in the
+    # compute dtype), 'tanh' (tanh approximation in the compute dtype — the
+    # fast TPU path, −17% forward time at bf16; ablation round 1)
+    gelu: str = "exact_f32"
 
     @property
     def num_patches(self) -> int:
@@ -245,7 +249,12 @@ def _block(x, blk_p, lora_p, spec: ViTSpec):
     x = x + _attention(y, blk_p["attn"], lora_p, spec)
     y = _layer_norm(x, blk_p["ln2"]["scale"], blk_p["ln2"]["bias"], eps)
     y = y @ blk_p["mlp"]["fc1"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc1"]["bias"].astype(x.dtype)
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)  # HF exact GELU
+    if spec.gelu == "exact_f32":  # HF parity: erf GELU with f32 compute
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    elif spec.gelu == "exact":
+        y = jax.nn.gelu(y, approximate=False)
+    else:  # 'tanh' — fast TPU path
+        y = jax.nn.gelu(y, approximate=True)
     y = y @ blk_p["mlp"]["fc2"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc2"]["bias"].astype(x.dtype)
     return x + y
 
