@@ -224,6 +224,27 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
             y = y + (x @ a) @ b * jnp.asarray(scaling, x.dtype)
         return y
 
+    if spec.attention_impl == "pallas2":
+        # packed-layout kernel: no [B,H,N,D] transposes on either side
+        from shapley_vit_tpu.ops.attention import fused_attention_packed, pallas_enabled
+
+        qp = proj(attn_p["q"], "q")
+        kp = proj(attn_p["k"], "k")
+        vp = proj(attn_p["v"], "v")
+        if pallas_enabled():
+            ctx = fused_attention_packed(qp, kp, vp, heads=h)
+        else:
+            q = qp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+            k = kp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+            v = vp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
+                jnp.sqrt(jnp.float32(hd)), x.dtype
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return ctx @ attn_p["out"]["kernel"].astype(x.dtype) + attn_p["out"]["bias"].astype(x.dtype)
+
     q = proj(attn_p["q"], "q").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
     k = proj(attn_p["k"], "k").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
     v = proj(attn_p["v"], "v").reshape(B, N, h, hd).transpose(0, 2, 1, 3)

@@ -99,6 +99,68 @@ def _xla_attention(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel: one program per batch item, heads looped in VMEM
+# ---------------------------------------------------------------------------
+
+def _attn_v2_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, heads: int,
+                    head_dim: int, scale: float):
+    """One batch item, all heads: q/k/v [N_pad, H·D] in the natural
+    (pre-transpose) layout. Per head: s = q_h·k_hᵀ·scale → masked softmax →
+    ·v_h, all resident in VMEM. Avoids the [B,H,N,D] transposes and the
+    128-lane padding waste of the v1 kernel (D=64 stays packed in H·D=768)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    n_pad = q.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+    neg = jnp.float32(-1e30)
+
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(col_ids < seq_len, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = oh.astype(o_ref.dtype)
+
+
+def fused_attention_packed(q, k, v, heads: int, interpret: bool = False):
+    """Packed-layout fused MHA: q/k/v [B, N, H·D] -> [B, N, H·D] (no head
+    transpose needed on either side)."""
+    B, N, HD = q.shape
+    head_dim = HD // heads
+    scale = 1.0 / math.sqrt(head_dim)
+    n_pad = _round_up(N, 128)
+    pad = [(0, 0), (0, n_pad - N), (0, 0)]
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    spec = pl.BlockSpec((1, n_pad, HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_v2_kernel, seq_len=N, heads=heads, head_dim=head_dim, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, HD), q.dtype),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * heads * n_pad * n_pad * head_dim,
+            bytes_accessed=4 * B * n_pad * HD * 4,
+            transcendentals=B * heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N, :]
+
+
 def pallas_enabled() -> bool:
     """TPU Pallas path gate. Opt-in via SVT_ENABLE_PALLAS=1: this container
     routes Mosaic compiles through a remote service that can stall for

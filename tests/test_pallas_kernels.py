@@ -43,6 +43,35 @@ def test_fused_attention_gradients_flow(rng):
     assert g.shape == q.shape and float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.parametrize("N", [197, 64])
+def test_fused_attention_packed_matches_xla(rng, N):
+    B, H, D = 2, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, N, H * D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H * D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H * D)), jnp.float32)
+    got = att.fused_attention_packed(q, k, v, heads=H, interpret=True)
+    # reference: unpack -> per-head attention -> repack
+    qh = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+    ref = att._xla_attention(qh, kh, vh).transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_vit_pallas2_flag_cpu_fallback(rng):
+    from shapley_vit_tpu.models import vit as jvit
+
+    spec_x = jvit.make_spec("micro")
+    spec_p = jvit.make_spec("micro").replace(attention_impl="pallas2")
+    base = jvit.init_vit(jax.random.key(0), spec_x)
+    x = np.asarray(rng.normal(size=(2, 16, 16, 3)), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(jvit.vit_forward(base, None, x, spec_x)),
+        np.asarray(jvit.vit_forward(base, None, x, spec_p)),
+        atol=1e-5,
+    )
+
+
 def test_fused_mlp_block_matches_reference_math(rng):
     from shapley_vit_tpu.ops.mlp_block import fused_mlp_block
 
