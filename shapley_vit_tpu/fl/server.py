@@ -57,6 +57,30 @@ class EvalServer:
         returns the new params instead of mutating a module."""
         return tm.apply_deltas(init_params, *aggregated_deltas)
 
+    def init_net(self, path: Optional[str] = None, init_fn=None) -> PyTree:
+        """Re-initialize or load the global params (server2.py:49-54
+        ``init_net``: torch load of 'model_state_dict', else kaiming re-init
+        via ``init_new_net``). Here: npz/torch checkpoint via the ingestion
+        loader, or a caller-provided ``init_fn()`` (functional re-init)."""
+        if path is not None:
+            from shapley_vit_tpu.fl.ingestion import load_checkpoint_state_dict
+
+            sd = load_checkpoint_state_dict(path)
+            # flat 'a.b.c' keys -> nested pytree
+            tree: dict = {}
+            for key, value in sd.items():
+                node = tree
+                parts = key.split(".")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = value
+            self.global_params = tree
+        elif init_fn is not None:
+            self.global_params = init_fn()
+        else:
+            raise ValueError("init_net needs a checkpoint path or an init_fn")
+        return self.global_params
+
     def clients_sel(self, frac: float = 1.0, rng: Optional[np.random.Generator] = None):
         """Client subsampling (server.py:53-63)."""
         if frac >= 1.0:

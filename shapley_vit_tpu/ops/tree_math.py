@@ -53,6 +53,18 @@ def tree_zeros_like(a: PyTree) -> PyTree:
     return jax.tree.map(jnp.zeros_like, a)
 
 
+def tree_param_difference(a: PyTree, b: PyTree) -> float:
+    """Total absolute parameter difference Σ|a−b| (reference
+    ``net_param_difference``/``net_param_difference_dic``, utils.py:846-858 —
+    the manual-debugging companion to ``compare_model_param``)."""
+    return float(
+        sum(
+            np.abs(np.asarray(x) - np.asarray(y)).sum()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+    )
+
+
 def tree_allclose(a: PyTree, b: PyTree, atol: float = 1e-6, rtol: float = 1e-5) -> bool:
     """Equality probe (reference ``compare_model_param``, utils.py:825-844)."""
     leaves_a = jax.tree.leaves(a)

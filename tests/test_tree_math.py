@@ -72,6 +72,36 @@ def test_tree_stack_unstack_roundtrip(rng):
         assert tm.tree_allclose(orig, rec)
 
 
+def test_tree_param_difference(rng):
+    a = make_tree(rng)
+    assert tm.tree_param_difference(a, a) == 0.0
+    b = jax.tree.map(lambda x: x + 0.5, a)
+    total = sum(x.size for x in jax.tree.leaves(a))
+    np.testing.assert_allclose(tm.tree_param_difference(a, b), 0.5 * total, rtol=1e-5)
+
+
+def test_server_init_net_from_checkpoint(tmp_path, rng):
+    from shapley_vit_tpu.fl.ingestion import atomic_save_npz
+    from shapley_vit_tpu.fl.server import EvalServer
+
+    params = make_tree(rng)
+    flat = {
+        "w.kernel": np.asarray(params["w"]["kernel"]),
+        "w.bias": np.asarray(params["w"]["bias"]),
+        "head": np.asarray(params["head"]),
+    }
+    p = str(tmp_path / "global.npz")
+    atomic_save_npz(p, flat)
+    server = EvalServer(global_params=None, clients=[])
+    restored = server.init_net(p)
+    assert tm.tree_allclose(restored, params, atol=1e-7)
+    # functional re-init path
+    server.init_net(init_fn=lambda: {"x": np.zeros(2)})
+    assert server.global_params["x"].shape == (2,)
+    with pytest.raises(ValueError):
+        server.init_net()
+
+
 def test_coalition_weight_matrix_rows():
     # 3 clients with data sizes 10/30/60; coalition {0,2} -> 10/70, 0, 60/70
     W = tm.coalition_weight_matrix(
