@@ -39,6 +39,8 @@ def _strip_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         k = re.sub(r"^(module\.)+", "", k)
         k = re.sub(r"^base_model\.model\.", "", k)
         k = re.sub(r"\.base_layer\.", ".", k)  # peft wraps target Linears
+        # peft modules_to_save keeps the frozen copy under .original_module
+        k = re.sub(r"\.original_module\.", ".", k)
         out[k] = v
     return out
 
