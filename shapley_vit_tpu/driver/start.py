@@ -77,7 +77,8 @@ def load_validation_dataset(cfg: Config, target_size: Optional[int] = None) -> A
     inside the DataLoader, start.py:35-38)."""
     root = cfg.paths.validation_dataset or cfg.data.data_dir
     splits, _ = get_dataset(
-        "oct", data_dir=root, synthetic_ok=True, seed=cfg.shapley.seed
+        "oct", data_dir=root, synthetic_ok=True, seed=cfg.shapley.seed,
+        synthetic_scale=1.0,  # full-size synthetic stand-in (400-image val)
     )
     ds = splits["val"]
     target = target_size or cfg.data.image_size
