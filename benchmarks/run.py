@@ -95,6 +95,15 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     def eval_fn(W):
         return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
 
+    # warm-up: compile the eval at the estimator's coalition-batch shape so
+    # wall_clock_s reports steady-state throughput (exact: the full powerset
+    # C; MC estimators: per-call C varies, warm the single-coalition shape)
+    if cfg["estimator"] == "exact":
+        warm_C = 2**n - 1
+    else:
+        warm_C = 1
+    eval_fn(np.full((warm_C, n), 1.0 / n, dtype=np.float32))
+
     game = Game(
         eval_coalitions_fn=eval_fn,
         num_local_data=sizes,
