@@ -370,7 +370,6 @@ def build_network(model: str, channel: int, num_classes: int, im_size=(32, 32)) 
     if model == "AlexNetBN":
         return AlexNet(channel=channel, num_classes=num_classes, use_bn=True)
     if model.startswith("VGG"):
-        name = model[:5] if model[3:5].isdigit() else model[:4 + 1]
         bn = model.endswith("BN")
         base = model[:-2] if bn else model
         if base not in CFG_VGG:

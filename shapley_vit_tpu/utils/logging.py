@@ -90,6 +90,46 @@ class CSVLogger:
         self._mwriter.writerow([step, tag, value, time.time()])
         self._mf.flush()
 
+    def histo_summary(self, tag: str, values, step: int, bins: int = 10) -> None:
+        """Histogram summary (the reference's utils/logger.py:56-85 version
+        references a commented-out tf import and crashes if called; this one
+        works): records min/max/mean/std + decile quantiles as scalars."""
+        import numpy as _np
+
+        v = _np.asarray(values, dtype=float).ravel()
+        if v.size == 0:
+            return
+        self.scalar_summary(f"{tag}/min", float(v.min()), step)
+        self.scalar_summary(f"{tag}/max", float(v.max()), step)
+        self.scalar_summary(f"{tag}/mean", float(v.mean()), step)
+        self.scalar_summary(f"{tag}/std", float(v.std()), step)
+        for q in range(1, bins):
+            self.scalar_summary(
+                f"{tag}/q{q * 100 // bins}", float(_np.quantile(v, q / bins)), step
+            )
+
+    def image_summary(self, tag: str, images, step: int, out_dir: str = None) -> None:
+        """Image summary (reference utils/logger.py:34-54, also broken-TF):
+        saves a PNG grid next to the metrics CSV and records its path."""
+        import numpy as _np
+
+        from shapley_vit_tpu.utils.plots import _mpl
+
+        plt = _mpl()
+        images = _np.asarray(images)
+        k = min(len(images), 8)
+        fig, axes = plt.subplots(1, k, figsize=(2 * k, 2))
+        if k == 1:
+            axes = [axes]
+        for ax, img in zip(axes, images[:k]):
+            ax.imshow(img.squeeze(), cmap="gray" if img.shape[-1] == 1 else None)
+            ax.axis("off")
+        out_dir = out_dir or os.path.dirname(self.metrics_path)
+        path = os.path.join(out_dir, f"{tag.replace('/', '_')}_{step}.png")
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        self.log(["image_summary", tag, step, path])
+
     def close(self) -> None:
         self._f.close()
         if self._mf is not None:
