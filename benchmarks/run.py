@@ -86,9 +86,17 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
         for i in range(0, val_size, batch)
     ]
 
+    # chunk the coalition axis when C can exceed HBM: MC estimators touch
+    # ~m*n distinct coalitions; 224px ViT activations at batch 128 allow
+    # roughly 16-24 coalition models resident at once on a 16GB v5e
+    chunk = 0
+    if cfg["variant"] == "large":
+        chunk = 8
+    elif cfg["image"] >= 224:
+        chunk = 16
     evaluator = ev.make_coalition_evaluator(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=16 if cfg["variant"] == "large" else 0,
+        coalition_chunk=chunk,
     )
     mat = jax.jit(tm.materialize_coalitions)
 
@@ -99,9 +107,9 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     # wall_clock_s reports steady-state throughput (exact: the full powerset
     # C; MC estimators: per-call C varies, warm the single-coalition shape)
     if cfg["estimator"] == "exact":
-        warm_C = 2**n - 1
+        warm_C = min(2**n - 1, chunk) if chunk else 2**n - 1
     else:
-        warm_C = 1
+        warm_C = chunk or 1
     eval_fn(np.full((warm_C, n), 1.0 / n, dtype=np.float32))
 
     game = Game(
