@@ -189,8 +189,21 @@ def get_initial_shapley_value(
     )
     server = EvalServer(base, clients, valid_batches=data, valid_size=len(valid))  # noqa: F841 (parity object)
 
+    from shapley_vit_tpu.utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
     rng = np.random.default_rng(cfg.shapley.seed)
-    shapley_value = call_shapley_computation_method({}, game, logger, rng=rng)
+    with trace(cfg.obs.profile_dir, enabled=cfg.obs.profile):
+        with timer.span("shapley_round"):
+            shapley_value = call_shapley_computation_method({}, game, logger, rng=rng)
+    stats = timer.summary()["shapley_round"]
+    logger.info(
+        f"Shapley round: {stats['total_s']:.2f}s, "
+        f"{game.num_evaluations} distinct coalition evals "
+        f"({game.num_evaluations / max(stats['total_s'], 1e-9):.2f}/s)"
+    )
+    if csv_logger is not None:
+        timer.log_to(csv_logger, step=1)
 
     # export the post-round FedAvg global overlay to GLOBAL_MODEL_PATH (the
     # .env contract's third path — the reference's out-of-repo FL loop reads
