@@ -1,0 +1,150 @@
+"""Continuous Shapley service.
+
+The reference's driver runs ONE round against ``ViT_epoch_9.pth.tar`` and
+exits (start.py:134-222); the enclosing FL system (out of repo) retrains and
+redeposits checkpoints per epoch. This loop is that missing outer service:
+watch LOCAL_MODEL_PATH for each epoch's full checkpoint set (atomic-rename
+protocol, C++ inotify watcher when built), run a Shapley round, persist
+SV/utility artifacts, advance. Stragglers follow the configured policy; the
+previous round's grand-coalition utility seeds the next round's
+``previous_utility`` (the reference's round-chaining contract,
+game2.py:113-114).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from shapley_vit_tpu.config import Config
+from shapley_vit_tpu.data.arrays import device_batches
+from shapley_vit_tpu.driver.report import render_round_report
+from shapley_vit_tpu.fl import evaluation as ev
+from shapley_vit_tpu.fl import ingestion
+from shapley_vit_tpu.models import vit as jvit
+from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.utils.logging import get_logger
+from shapley_vit_tpu.utils.profiling import StepTimer
+
+
+def serve(
+    cfg: Optional[Config] = None,
+    max_rounds: Optional[int] = None,
+    epoch_filename: str = "ViT_epoch_{epoch}.pth.tar",
+    start_epoch: int = 0,
+    timeout: Optional[float] = None,
+    policy: str = "wait",
+    valid=None,
+) -> List[Dict]:
+    """Run Shapley rounds as checkpoint sets arrive; returns round records.
+
+    ``max_rounds=None`` serves forever (the reference's blocking contract);
+    tests pass a bound. ``policy``: wait | skip | fail per fl/ingestion.
+    """
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+
+    cfg = cfg or Config.from_env()
+    logger = get_logger()
+    out_dir = cfg.ensure_output_dir()
+    n = cfg.shapley.num_clients
+
+    spec, base, init_lora = start_mod.build_model(cfg)
+    if valid is None:
+        valid = start_mod.load_validation_dataset(cfg, target_size=spec.image)
+    data = device_batches(valid, cfg.data.eval_batch_size)
+
+    single = lambda p, x: jvit.vit_forward(p[0], p[1], x, spec)
+    prev_utility = list(
+        ev.evaluate_model(single, (base, init_lora), data, dataset_size=len(valid))
+    )
+    logger.info(f"service up: initial utility {prev_utility}")
+
+    evaluator = ev.make_coalition_evaluator(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+        coalition_chunk=cfg.shapley.coalition_chunk,
+    )
+    import jax
+
+    mat = jax.jit(tm.materialize_coalitions)
+    root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
+
+    records: List[Dict] = []
+    epoch = start_epoch
+    current_overlay = init_lora
+    while max_rounds is None or len(records) < max_rounds:
+        paths = ingestion.default_checkpoint_paths(
+            root, n, filename=epoch_filename.format(epoch=epoch)
+        )
+        logger.info(f"round {len(records)}: waiting for epoch-{epoch} checkpoints")
+        try:
+            watch = ingestion.wait_for_checkpoints(
+                paths, timeout=timeout, policy=policy, log_fn=logger.info
+            )
+        except TimeoutError as e:
+            logger.info(f"stopping service: {e}")
+            break
+        if not any(watch.arrived):
+            logger.info("no checkpoints arrived; stopping")
+            break
+
+        deltas, selection = ingestion.ingest_clients(watch.paths, current_overlay, spec)
+        stacked = tm.tree_stack(
+            [d if d is not None else tm.tree_zeros_like(current_overlay) for d in deltas]
+        )
+        start_overlay = current_overlay
+
+        def eval_fn(W):
+            return evaluator(
+                base, mat(start_overlay, stacked, W), data, dataset_size=len(valid)
+            )
+
+        game = Game(
+            eval_coalitions_fn=eval_fn,
+            num_local_data=[1.0] * n,
+            client_selection_vector=selection,
+            previous_utility=prev_utility,
+            utility_dim=cfg.shapley.utility_dim,
+            n_all=n,
+        )
+        timer = StepTimer()
+        with timer.span("shapley_round"):
+            sv = call_shapley_computation_method(
+                {}, game, logger, rng=np.random.default_rng(cfg.shapley.seed + epoch)
+            )
+        artifacts = render_round_report(out_dir, sv, game=game, round_idx=epoch, timer=timer)
+
+        # advance the global overlay by the full-coalition FedAvg and chain
+        # previous_utility to the new global's absolute utility
+        participating = [i for i, s in enumerate(selection) if s]
+        if participating:
+            ratio = tm.fedavg_ratio([1.0] * len(participating))
+            agg = tm.aggregate_deltas(
+                tm.tree_stack([deltas[i] for i in participating]), ratio
+            )
+            current_overlay = tm.apply_deltas(current_overlay, agg)
+            prev_utility = list(
+                ev.evaluate_model(
+                    single, (base, current_overlay), data, dataset_size=len(valid)
+                )
+            )
+            if cfg.paths.global_model_path:
+                ingestion.save_lora_checkpoint(
+                    os.path.join(
+                        cfg.paths.global_model_path, f"ViT_global_epoch_{epoch}.npz"
+                    ),
+                    current_overlay,
+                    spec,
+                )
+        records.append(
+            dict(epoch=epoch, shapley=sv, selection=selection,
+                 utility=prev_utility, artifacts=artifacts,
+                 evals=game.num_evaluations)
+        )
+        logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
+        epoch += 1
+    return records

@@ -1,0 +1,92 @@
+"""Continuous-service tests: multi-epoch checkpoint ingestion, round
+chaining, straggler stop."""
+
+import os
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.config import Config
+from shapley_vit_tpu.fl import ingestion
+from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.driver.serve import serve
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.eval_batch_size = 32
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    cfg.paths.global_model_path = str(tmp_path / "global")
+    return cfg
+
+
+def write_epoch(cfg, spec, overlay, epoch, clients=3, scale=0.05):
+    paths = []
+    for i in range(clients):
+        lora_i = tm.tree_add(
+            overlay,
+            jax.tree.map(
+                lambda l: scale * jax.random.normal(jax.random.key(epoch * 10 + i), l.shape),
+                overlay,
+            ),
+        )
+        p = os.path.join(
+            cfg.paths.local_model_path, f"client_{i + 1}_model",
+            f"ViT_epoch_{epoch}.pth.tar",
+        )
+        ingestion.save_lora_checkpoint(p, lora_i, spec)
+        paths.append(p)
+    return paths
+
+
+def test_serve_two_rounds(cfg):
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+
+    # epoch 0 pre-staged; epoch 1 delivered mid-service by a writer thread
+    write_epoch(cfg, spec, init_lora, epoch=0)
+
+    def deliver_later():
+        time.sleep(1.0)
+        write_epoch(cfg, spec, init_lora, epoch=1)
+
+    t = threading.Thread(target=deliver_later)
+    t.start()
+    records = serve(cfg, max_rounds=2, timeout=30.0, policy="fail")
+    t.join()
+
+    assert len(records) == 2
+    assert records[0]["epoch"] == 0 and records[1]["epoch"] == 1
+    for rec in records:
+        assert len(rec["shapley"]) == 2
+        assert rec["evals"] <= 7
+    # artifacts rendered per round
+    out = cfg.output_dir
+    assert os.path.exists(os.path.join(out, "shapley_round.csv"))
+    assert os.path.exists(os.path.join(out, "sv_bar_r1.png"))
+    # global overlay exported per epoch
+    assert os.path.exists(
+        os.path.join(cfg.paths.global_model_path, "ViT_global_epoch_1.npz")
+    )
+    # round chaining: record 2's utility differs from record 1's
+    assert records[0]["utility"] != records[1]["utility"]
+
+
+def test_serve_stops_on_timeout(cfg):
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    # epoch 1 never arrives; fail policy ends the service after round 0
+    records = serve(cfg, max_rounds=5, timeout=0.5, policy="fail")
+    assert len(records) == 1
