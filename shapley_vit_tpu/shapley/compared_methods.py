@@ -182,13 +182,26 @@ class Fed_SV(ShapleyValue):
     @staticmethod
     def solve_feasible(agent_num: int, u_N: float, UD: np.ndarray) -> np.ndarray:
         """LP feasibility replacing Wolfram FindInstance
-        (compared_methods.py:200-243): find x with x_i ≥ 0.05,
-        |x_i − x_j − UD_ij| ≤ ε, Σ x = u_N; ε grows ×1.1 until feasible."""
+        (compared_methods.py:200-243): find x with x_i ≥ lb,
+        |x_i − x_j − UD_ij| ≤ ε, Σ x = u_N; ε grows ×1.1 until feasible.
+
+        Divergences from the reference (which would loop forever):
+          * the reference hardcodes lb = 0.05, which is INFEASIBLE whenever
+            u_N < 0.05·N regardless of ε (Σx = u_N conflicts with the lower
+            bounds) — we shrink lb so Σlb ≤ u_N stays satisfiable;
+          * ε growth is capped; past the cap we return the closed-form
+            least-squares solution of the difference system,
+            x_i = (u_N + Σ_j UD_ij)/N.
+        """
         from scipy.optimize import linprog
 
+        lb = 0.05
+        if lb * agent_num > u_N:
+            lb = min(0.05, u_N / agent_num - abs(u_N) * 0.5 - 1e-6)
         eps = 1 / np.sqrt(agent_num) / agent_num / 2.0
+        eps_cap = max(1.0, abs(u_N)) * 10
         pairs = [(i, j) for i in range(agent_num) for j in range(i + 1, agent_num)]
-        while True:
+        while eps < eps_cap:
             A_ub, b_ub = [], []
             for i, j in pairs:
                 row = np.zeros(agent_num)
@@ -203,12 +216,14 @@ class Fed_SV(ShapleyValue):
                 b_ub=np.asarray(b_ub),
                 A_eq=np.ones((1, agent_num)),
                 b_eq=np.asarray([u_N]),
-                bounds=[(0.05, None)] * agent_num,
+                bounds=[(lb, None)] * agent_num,
                 method="highs",
             )
             if res.status == 0:
                 return res.x
             eps *= 1.1
+        # closed-form least-squares fallback
+        return (u_N + UD.sum(axis=1)) / agent_num
 
 
 # ---------------------------------------------------------------------------

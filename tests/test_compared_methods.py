@@ -101,6 +101,19 @@ def test_solve_feasible_lp_directly():
     np.testing.assert_allclose(np.sort(x), x_true, atol=0.1)
 
 
+def test_solve_feasible_small_uN_many_agents():
+    """The reference's hardcoded x_i>=0.05 bound is infeasible for
+    u_N < 0.05*N (would loop forever); ours shrinks the bound."""
+    n = 16
+    x_true = np.linspace(-0.02, 0.05, n)
+    u_N = float(x_true.sum())  # ~0.24 << 0.05*16
+    UD = x_true[:, None] - x_true[None, :]
+    x = cm.Fed_SV.solve_feasible(n, u_N, UD)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x.sum(), u_N, atol=1e-6)
+    np.testing.assert_allclose(np.sort(x), np.sort(x_true), atol=0.05)
+
+
 def test_comfedsv_roundtrip(additive4):
     game, values = additive4
     all_subsets = fs.all_subsets_enumeration(4)
