@@ -97,6 +97,8 @@ class DataConfig:
     num_workers: int = 1
     use_whole_dataset: bool = False
     clear_cache: bool = False
+    # scale factor for synthetic stand-in datasets (1.0 = full-size val set)
+    synthetic_scale: float = 1.0
 
 
 @dataclass

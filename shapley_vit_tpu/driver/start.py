@@ -78,7 +78,7 @@ def load_validation_dataset(cfg: Config, target_size: Optional[int] = None) -> A
     root = cfg.paths.validation_dataset or cfg.data.data_dir
     splits, _ = get_dataset(
         "oct", data_dir=root, synthetic_ok=True, seed=cfg.shapley.seed,
-        synthetic_scale=1.0,  # full-size synthetic stand-in (400-image val)
+        synthetic_scale=cfg.data.synthetic_scale,
     )
     ds = splits["val"]
     target = target_size or cfg.data.image_size

@@ -104,6 +104,7 @@ def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
     cfg.obs.exp_dir = str(tmp_path / "exp")
     cfg.paths.validation_dataset = str(tmp_path / "no_oct_here")  # -> synthetic
     cfg.paths.global_model_path = str(tmp_path / "global")
+    cfg.data.synthetic_scale = 0.02
     cfg.shapley.seed = 0
 
     # fake clients: init + noise, written with the atomic protocol

@@ -22,6 +22,7 @@ def cfg(tmp_path):
     cfg.data.eval_batch_size = 32
     cfg.obs.exp_dir = str(tmp_path / "exp")
     cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.data.synthetic_scale = 0.02
     cfg.paths.local_model_path = str(tmp_path / "local")
     cfg.paths.global_model_path = str(tmp_path / "global")
     return cfg
