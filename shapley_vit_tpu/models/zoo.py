@@ -343,6 +343,20 @@ class ResNet(nn.Module):
 # factory (utils.py:1312-1403)
 # ---------------------------------------------------------------------------
 
+def model_head(module: nn.Module):
+    """Feature-extractor wrapper (reference ModelHead, networks.py:9-19:
+    drop the classifier, flatten features). Returns
+    ``apply_fn(variables, x, train=False) -> [B, features]`` backed by the
+    module's ``embed`` method."""
+    if not hasattr(module, "embed"):
+        raise ValueError(f"{type(module).__name__} exposes no embed() features")
+
+    def apply_fn(variables, x, train: bool = False):
+        return module.apply(variables, x, train=train, method=module.embed)
+
+    return apply_fn
+
+
 def get_default_convnet_setting():
     """(utils.py:1306-1308)."""
     return 128, 3, "relu", "instancenorm", "avgpooling"

@@ -60,6 +60,18 @@ def test_unknown_model_raises():
         zoo.build_network("TransformerXL", 3, 10)
 
 
+def test_model_head_wrapper():
+    # ModelHead capability (networks.py:9-19)
+    module, variables, _ = zoo.get_network("AlexNet", 3, 10, (32, 32), jax.random.key(0))
+    head = zoo.model_head(module)
+    feats = head(variables, jnp.zeros((2, 32, 32, 3)))
+    assert feats.shape == (2, 192 * 4 * 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zoo.model_head(zoo.MLP(channel=3, num_classes=10))
+
+
 def test_embed_feature_extraction():
     # ModelHead capability (networks.py:9-19): features without classifier
     module, variables, _ = zoo.get_network("ConvNet", 3, 10, (32, 32), jax.random.key(0))
