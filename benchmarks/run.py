@@ -89,11 +89,10 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     # chunk the coalition axis when C can exceed HBM: MC estimators touch
     # ~m*n distinct coalitions; 224px ViT activations at batch 128 allow
     # roughly 16-24 coalition models resident at once on a 16GB v5e
-    chunk = 0
-    if cfg["variant"] == "large":
-        chunk = 8
-    elif cfg["image"] >= 224:
-        chunk = 16
+    act_mult = 20.0 * (3.6 if cfg["variant"] == "large" else 1.0)
+    chunk = ev.suggest_coalition_chunk(
+        spec.seq_len, spec.hidden, batch, activation_multiplier=act_mult
+    )
     evaluator = ev.make_coalition_evaluator(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,

@@ -64,9 +64,12 @@ def serve(
     )
     logger.info(f"service up: initial utility {prev_utility}")
 
+    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
+        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
+    )
     evaluator = ev.make_coalition_evaluator(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=cfg.shapley.coalition_chunk,
+        coalition_chunk=chunk,
     )
     import jax
 

@@ -167,9 +167,12 @@ def get_initial_shapley_value(
     stacked = tm.tree_stack([
         d if d is not None else tm.tree_zeros_like(init_lora) for d in deltas
     ])
+    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
+        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
+    )
     evaluator = ev.make_coalition_evaluator(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=cfg.shapley.coalition_chunk,
+        coalition_chunk=chunk,
     )
     import jax
 

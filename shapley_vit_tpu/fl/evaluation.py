@@ -81,6 +81,28 @@ def evaluate_model(
     return acc, mean_loss
 
 
+def suggest_coalition_chunk(
+    seq_len: int,
+    hidden: int,
+    batch_size: int,
+    hbm_bytes: float = 16e9,
+    activation_multiplier: float = 20.0,
+    safety: float = 0.6,
+    act_bytes: int = 2,
+) -> int:
+    """HBM-aware coalition-axis chunk size.
+
+    Live activations under the vmapped forward scale as roughly
+    C·B·N·D·act_bytes·multiplier (multiplier ≈ 20 covers the residual
+    stream, attention probs, and MLP intermediates surviving XLA liveness
+    analysis — calibrated on ViT-B/224 @ B=128, where chunk 16 fits a 16GB
+    v5e and 101 coalitions OOM). Returns 0 (no chunking) when everything
+    fits."""
+    per_coalition = batch_size * seq_len * hidden * act_bytes * activation_multiplier
+    chunk = int(safety * hbm_bytes / per_coalition)
+    return max(1, chunk)
+
+
 def make_coalition_evaluator(
     forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
     coalition_chunk: int = 0,
