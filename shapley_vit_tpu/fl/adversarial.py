@@ -118,12 +118,13 @@ def adversarial_evaluation(
 def multi_epsilon_evaluation(
     forward_fn: Callable, params, batches, epsilons: Sequence[float], **kw
 ) -> Dict[float, Dict[str, float]]:
-    """The ``--use-multi-epsilon`` sweep (opts.py:81)."""
+    """The ``--use-multi-epsilon`` sweep (opts.py:81). Clean metrics are
+    evaluated once (on the first epsilon) — they don't depend on epsilon."""
+    clean = kw.pop("use_clean_eval", True)
     results = {}
     for i, eps in enumerate(epsilons):
         results[float(eps)] = adversarial_evaluation(
             forward_fn, params, batches, eps,
-            use_clean_eval=(i == 0) and kw.pop("use_clean_eval", True) if i == 0 else False,
-            **{k: v for k, v in kw.items() if k != "use_clean_eval"},
+            use_clean_eval=clean and i == 0, **kw,
         )
     return results
