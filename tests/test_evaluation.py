@@ -83,6 +83,33 @@ def test_coalition_evaluator_matches_serial(rng):
         np.testing.assert_allclose(batched[c, 1], loss, rtol=1e-5)
 
 
+def test_nan_guard_raises(rng):
+    """Reference NaN guard (utils.py:918-922): a NaN validation loss must
+    raise, not silently poison the utility table."""
+    import jax.numpy as jnp
+
+    images = rng.normal(size=(4, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, size=4)
+    nan_forward = lambda p, x: x @ p * jnp.nan
+    with pytest.raises(FloatingPointError):
+        ev.evaluate_model(nan_forward, jnp.ones((2, 2)), [(images, labels)])
+
+    evaluator = ev.make_coalition_evaluator(lambda s, p, x: x @ p * jnp.nan)
+    stacked = jnp.ones((3, 2, 2))
+    with pytest.raises(FloatingPointError) as e:
+        evaluator(None, stacked, [(images, labels)])
+    assert "coalitions" in str(e.value)
+
+
+def test_suggest_coalition_chunk_calibration():
+    # calibrated so ViT-B/224 @ B=128 suggests ~12 (chunk 16 fit, 101 OOMed)
+    c = ev.suggest_coalition_chunk(197, 768, 128)
+    assert 8 <= c <= 24
+    # tiny models: effectively unbounded chunk
+    assert ev.suggest_coalition_chunk(17, 32, 16) > 1000
+    assert ev.suggest_coalition_chunk(197, 768, 128, hbm_bytes=1e6) == 1
+
+
 def test_fused_bench_round_matches_evaluator(rng):
     """bench.py's fused merged-weights scan round must equal the
     serial-compatible evaluator (micro scale, CPU)."""
