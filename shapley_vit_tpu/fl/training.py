@@ -95,7 +95,7 @@ def make_dp_train_step(
         learning_rate=learning_rate,
         l2_norm_clip=l2_norm_clip,
         noise_multiplier=noise_multiplier,
-        seed=seed,
+        key=jax.random.key(seed),
         momentum=momentum,
     )
 
