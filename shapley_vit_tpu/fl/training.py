@@ -91,12 +91,15 @@ def make_dp_train_step(
     """
     import optax
 
-    optimizer = optax.contrib.dpsgd(
-        learning_rate=learning_rate,
-        l2_norm_clip=l2_norm_clip,
-        noise_multiplier=noise_multiplier,
-        key=jax.random.key(seed),
-        momentum=momentum,
+    # dpsgd() still takes the deprecated seed arg; compose the aggregate
+    # (which accepts a PRNG key) with sgd directly
+    optimizer = optax.chain(
+        optax.contrib.differentially_private_aggregate(
+            l2_norm_clip=l2_norm_clip,
+            noise_multiplier=noise_multiplier,
+            key=jax.random.key(seed),
+        ),
+        optax.sgd(learning_rate, momentum=momentum if momentum else None),
     )
 
     def example_loss(lora, base, image, label):
