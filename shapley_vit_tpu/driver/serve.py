@@ -95,7 +95,13 @@ def serve(
             logger.info("no checkpoints arrived; stopping")
             break
 
-        deltas, selection = ingestion.ingest_clients(watch.paths, current_overlay, spec)
+        deltas, selection, sizes = ingestion.ingest_clients(
+            watch.paths, current_overlay, spec
+        )
+        # per-client data sizes from checkpoint metadata drive the FedAvg
+        # ratios (load-bearing for SV — reference server2.py:68-81); clients
+        # without metadata fall back to weight 1
+        num_local_data = [float(s) if s else 1.0 for s in sizes]
         stacked = tm.tree_stack(
             [d if d is not None else tm.tree_zeros_like(current_overlay) for d in deltas]
         )
@@ -108,7 +114,7 @@ def serve(
 
         game = Game(
             eval_coalitions_fn=eval_fn,
-            num_local_data=[1.0] * n,
+            num_local_data=num_local_data,
             client_selection_vector=selection,
             previous_utility=prev_utility,
             utility_dim=cfg.shapley.utility_dim,
@@ -125,7 +131,7 @@ def serve(
         # previous_utility to the new global's absolute utility
         participating = [i for i, s in enumerate(selection) if s]
         if participating:
-            ratio = tm.fedavg_ratio([1.0] * len(participating))
+            ratio = tm.fedavg_ratio([num_local_data[i] for i in participating])
             agg = tm.aggregate_deltas(
                 tm.tree_stack([deltas[i] for i in participating]), ratio
             )

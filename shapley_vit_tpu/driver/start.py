@@ -135,20 +135,27 @@ def get_initial_shapley_value(
     if checkpoint_paths is None:
         root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
         checkpoint_paths = ingestion.default_checkpoint_paths(root, n)
+    # resume runs block indefinitely (checkpoints are known to exist); fresh
+    # runs bound the wait at an hour and fail loudly — under policy='wait'
+    # the timeout is ignored, so 'fail' is required for the bound to be real
     watch = ingestion.wait_for_checkpoints(
         checkpoint_paths,
         timeout=None if cfg.train.resume else 3600.0,
-        policy="wait",
+        policy="wait" if cfg.train.resume else "fail",
         log_fn=logger.info,
     )
-    deltas, selection = ingestion.ingest_clients(watch.paths, init_lora, spec)
+    deltas, selection, sizes = ingestion.ingest_clients(watch.paths, init_lora, spec)
 
-    # per-client standalone evaluation (start.py:157-161, logged not used)
+    # per-client standalone evaluation (start.py:157-161, logged not used);
+    # num_local_data_train comes from checkpoint metadata and drives the
+    # FedAvg data-size ratios (reference server2.py:68-81) — weight 1 when
+    # the client shipped no metadata
     clients: List[EvalClient] = []
     local_metrics = []
     for cid, delta in enumerate(deltas):
+        n_local = int(sizes[cid]) if sizes[cid] else 1
         if delta is None:
-            clients.append(EvalClient(cid, num_local_data_train=1))
+            clients.append(EvalClient(cid, num_local_data_train=n_local))
             continue
         client_lora = tm.tree_add(init_lora, delta)
         acc, loss = ev.evaluate_model(
@@ -157,7 +164,7 @@ def get_initial_shapley_value(
         local_metrics.append((cid, acc, loss))
         logger.info(f"Client {cid}: accuracy={acc} loss={loss}")
         clients.append(
-            EvalClient(cid, num_local_data_train=1, delta=delta)
+            EvalClient(cid, num_local_data_train=n_local, delta=delta)
         )
     if csv_logger is not None:
         for cid, acc, loss in local_metrics:

@@ -46,18 +46,42 @@ def atomic_save_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
     os.replace(tmp, path)
 
 
-def save_lora_checkpoint(path: str, lora_tree: PyTree, spec: ViTSpec) -> None:
+# Metadata keys ride inside the checkpoint so the ingestion contract can
+# carry per-client FedAvg weights (reference ``num_local_data_train``,
+# client2.py:7-42, load-bearing for SV via the data-size ratios of
+# server2.py:68-81). npz: prefixed flat keys; pth.tar: top-level dict keys
+# beside 'state_dict'.
+_META_PREFIX = "__meta__."
+_META_KEYS = ("num_local_data_train",)
+
+
+def save_lora_checkpoint(
+    path: str,
+    lora_tree: PyTree,
+    spec: ViTSpec,
+    num_local_data_train: Optional[int] = None,
+) -> None:
     """Save our LoRA overlay in peft naming (interoperable with reference
-    tooling); .npz native, .pth.tar via torch if requested."""
+    tooling); .npz native, .pth.tar via torch if requested.
+    ``num_local_data_train`` (the client's local training-set size) is stored
+    as checkpoint metadata and recovered by :func:`ingest_clients`."""
     sd = convert.tree_to_peft_lora(lora_tree, spec)
+    meta: Dict[str, Any] = {}
+    if num_local_data_train is not None:
+        meta["num_local_data_train"] = int(num_local_data_train)
     if path.endswith(".npz"):
-        atomic_save_npz(path, sd)
+        arrays = dict(sd)
+        for k, v in meta.items():
+            arrays[_META_PREFIX + k] = np.asarray(v)
+        atomic_save_npz(path, arrays)
     else:
         import torch
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
-        torch.save({"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}, tmp)
+        ckpt = {"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}
+        ckpt.update(meta)
+        torch.save(ckpt, tmp)
         os.replace(tmp, path)
 
 
@@ -65,22 +89,40 @@ def save_lora_checkpoint(path: str, lora_tree: PyTree, spec: ViTSpec) -> None:
 # loading
 # ---------------------------------------------------------------------------
 
-def load_checkpoint_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a client checkpoint into a numpy state dict. Torch ``.pth.tar``
-    files carry ``{'state_dict': ...}`` (reference cent_sgd.py:142-147 uses
-    'model_state_dict'; both keys accepted)."""
+def _load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """One file read -> (numpy state dict, metadata dict)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            sd, meta = {}, {}
+            for k in z.files:
+                if k.startswith(_META_PREFIX):
+                    meta[k[len(_META_PREFIX):]] = z[k].item()
+                else:
+                    sd[k] = z[k]
+            return sd, meta
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    meta: Dict[str, Any] = {}
     if isinstance(ckpt, dict):
+        meta = {k: ckpt[k] for k in _META_KEYS if k in ckpt}
         for key in ("state_dict", "model_state_dict"):
             if key in ckpt:
                 ckpt = ckpt[key]
                 break
-    return convert.torch_state_dict_to_numpy(ckpt)
+    return convert.torch_state_dict_to_numpy(ckpt), meta
+
+
+def load_checkpoint_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a client checkpoint into a numpy state dict. Torch ``.pth.tar``
+    files carry ``{'state_dict': ...}`` (reference cent_sgd.py:142-147 uses
+    'model_state_dict'; both keys accepted)."""
+    return _load_raw(path)[0]
+
+
+def load_checkpoint_metadata(path: str) -> Dict[str, Any]:
+    """Metadata dict (e.g. ``num_local_data_train``) from a checkpoint."""
+    return _load_raw(path)[1]
 
 
 def load_client_lora(path: str, spec: ViTSpec) -> PyTree:
@@ -184,18 +226,26 @@ def ingest_clients(
     paths: Sequence[Optional[str]],
     init_lora: PyTree,
     spec: ViTSpec,
-) -> Tuple[List[Optional[PyTree]], List[bool]]:
-    """Load every arrived client checkpoint and return (deltas, selection):
-    the reference's load → evaluate → delta loop (start.py:144-164) without
-    the shared-model aliasing bug (start.py:285-288)."""
+) -> Tuple[List[Optional[PyTree]], List[bool], List[Optional[int]]]:
+    """Load every arrived client checkpoint and return
+    (deltas, selection, sizes): the reference's load → evaluate → delta loop
+    (start.py:144-164) without the shared-model aliasing bug
+    (start.py:285-288). ``sizes[i]`` is the client's ``num_local_data_train``
+    from checkpoint metadata (None if absent or the client never arrived) —
+    callers use it as the FedAvg data-size weight (server2.py:68-81)."""
     deltas: List[Optional[PyTree]] = []
     selection: List[bool] = []
+    sizes: List[Optional[int]] = []
     for p in paths:
         if p is None:
             deltas.append(None)
             selection.append(False)
+            sizes.append(None)
             continue
-        lora = load_client_lora(p, spec)
+        sd, meta = _load_raw(p)
+        lora = convert.peft_lora_to_tree(sd, spec)
         deltas.append(client_delta(lora, init_lora))
         selection.append(True)
-    return deltas, selection
+        n = meta.get("num_local_data_train")
+        sizes.append(int(n) if n is not None else None)
+    return deltas, selection, sizes

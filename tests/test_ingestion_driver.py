@@ -88,10 +88,41 @@ def test_wait_for_checkpoints_policies(tmp_path):
     assert all(r.arrived)
 
 
+@pytest.mark.parametrize("fname", ["ViT_epoch_9.npz", "ViT_epoch_9.pth.tar"])
+def test_checkpoint_metadata_roundtrip(tmp_path, micro_spec, fname):
+    """num_local_data_train metadata survives both checkpoint formats and is
+    surfaced by ingest_clients as the per-client FedAvg weight."""
+    if fname.endswith(".pth.tar"):
+        pytest.importorskip("torch")
+    init = jvit.init_lora(jax.random.key(0), micro_spec)
+    paths, want = [], [120, 300]
+    for i, n in enumerate(want):
+        p = str(tmp_path / f"client_{i + 1}_model" / fname)
+        ingestion.save_lora_checkpoint(
+            p, make_lora(micro_spec, i), micro_spec, num_local_data_train=n
+        )
+        paths.append(p)
+    assert ingestion.load_checkpoint_metadata(paths[0]) == {
+        "num_local_data_train": 120
+    }
+    _deltas, sel, sizes = ingestion.ingest_clients(paths, init, micro_spec)
+    assert sel == [True, True]
+    assert sizes == want
+
+
+def test_checkpoint_without_metadata_yields_none_size(tmp_path, micro_spec):
+    init = jvit.init_lora(jax.random.key(0), micro_spec)
+    p = str(tmp_path / "client_1_model" / "ViT_epoch_9.npz")
+    ingestion.save_lora_checkpoint(p, make_lora(micro_spec, 0), micro_spec)
+    _d, _s, sizes = ingestion.ingest_clients([p], init, micro_spec)
+    assert sizes == [None]
+
+
 def test_ingest_clients_skips_missing(micro_spec):
     init = jvit.init_lora(jax.random.key(0), micro_spec)
-    deltas, sel = ingestion.ingest_clients([None, None], init, micro_spec)
+    deltas, sel, sizes = ingestion.ingest_clients([None, None], init, micro_spec)
     assert deltas == [None, None] and sel == [False, False]
+    assert sizes == [None, None]
 
 
 def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
@@ -141,3 +172,41 @@ def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
         assert 1 <= len(z.files) <= 7
     # global-model export honoured the GLOBAL_MODEL_PATH contract
     assert os.path.exists(os.path.join(str(tmp_path / "global"), "ViT_global.npz"))
+
+
+def test_start_threads_metadata_sizes_into_game(tmp_path, monkeypatch):
+    """Unequal num_local_data_train in checkpoint metadata must reach the
+    Game's FedAvg weights (reference server2.py:68-81 — load-bearing for SV)."""
+    cfg = Config()
+    cfg.model.vit_variant = "micro"
+    cfg.data.image_size = 16
+    cfg.data.eval_batch_size = 32
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.paths.validation_dataset = str(tmp_path / "no_oct_here")
+    cfg.data.synthetic_scale = 0.02
+
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+
+    want = [120, 300, 580]
+    paths = []
+    for i in range(3):
+        lora_i = tm.tree_add(init_lora, jax.tree.map(
+            lambda l: 0.05 * jax.random.normal(jax.random.key(i), l.shape), init_lora
+        ))
+        p = str(tmp_path / f"client_{i + 1}_model" / "ViT_epoch_9.npz")
+        ingestion.save_lora_checkpoint(p, lora_i, spec, num_local_data_train=want[i])
+        paths.append(p)
+
+    seen = {}
+    real_game = start_mod.Game
+
+    def spy_game(*args, **kwargs):
+        seen["num_local_data"] = list(kwargs["num_local_data"])
+        return real_game(*args, **kwargs)
+
+    monkeypatch.setattr(start_mod, "Game", spy_game)
+    start_mod.start(cfg, checkpoint_paths=paths)
+    assert seen["num_local_data"] == want

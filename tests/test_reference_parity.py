@@ -89,7 +89,14 @@ def setup(tmp_path_factory):
         import os
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        torch.save({"state_dict": client.state_dict()}, path)
+        # data sizes ride as checkpoint metadata (ingestion contract): the
+        # parity bar below only holds if ingest_clients recovers them and
+        # they flow into the FedAvg ratios
+        torch.save(
+            {"state_dict": client.state_dict(),
+             "num_local_data_train": [100, 250, 650][cid]},
+            path,
+        )
         ckpts.append(path)
 
     rng = np.random.default_rng(7)
@@ -157,8 +164,9 @@ def test_shapley_values_match_torch_reference_within_1e4(setup):
     # ---- our side: ingest the same files, batched evaluation, exact SV ----
     base_tree = convert.hf_vit_to_base_tree(s["init_model"].state_dict(), spec)
     init_lora = convert.peft_lora_to_tree(s["init_model"].state_dict(), spec)
-    deltas, selection = ingestion.ingest_clients(s["ckpts"], init_lora, spec)
+    deltas, selection, sizes = ingestion.ingest_clients(s["ckpts"], init_lora, spec)
     assert all(selection)
+    assert sizes == [100, 250, 650]  # recovered from checkpoint metadata
     stacked = tm.tree_stack(deltas)
 
     data = [(s["images"], s["labels"])]
@@ -177,7 +185,7 @@ def test_shapley_values_match_torch_reference_within_1e4(setup):
 
     game = Game(
         eval_coalitions_fn=eval_fn,
-        num_local_data=s["sizes"],
+        num_local_data=[float(x) for x in sizes],
         client_selection_vector=[True] * 3,
         previous_utility=list(prev_ours),
     )
