@@ -124,6 +124,64 @@ def test_comfedsv_roundtrip(additive4):
     np.testing.assert_allclose(sv_arr(sv_rounds[0], 4), values[:, 0], atol=1e-10)
 
 
+def counted_game(n_all, values):
+    """TabularGame whose eval_coalitions_fn counts invocations (each call =
+    one batched TPU pass in production)."""
+    game = TabularGame(additive_table(values), n_all=n_all)
+    calls = []
+    inner = game.eval_coalitions_fn
+
+    def counting(W):
+        calls.append(W.shape[0])
+        return inner(W)
+
+    game.eval_coalitions_fn = counting
+    return game, calls
+
+
+def test_gtg_batches_prefix_evals():
+    """GTG must evaluate each convergence round's N*N prefix coalitions in
+    ONE evaluator call, not stream them (VERDICT round-1 weak #2)."""
+    values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
+    game, calls = counted_game(4, values)
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    sv = gtg.compute_shapley_value(game, t=0)
+    np.testing.assert_allclose(sv_arr(sv, 4), values[:, 0], atol=0.5)
+    # n=4 -> 15 distinct coalitions; everything lands within the first
+    # convergence round's single precompute (+2 for S_0-adjacent/S_all)
+    assert game.num_evaluations >= 10
+    assert len(calls) <= 4, f"GTG made {len(calls)} evaluator calls: {calls}"
+
+
+def test_fed_sv_batches_subset_draws():
+    """Fed-SV must precompute its sampled subsets in blocks, not per-draw."""
+    values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
+    game, calls = counted_game(4, values)
+    fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    fsv.CONVERGE_MIN_K = 50
+    sv = fsv.compute_shapley_value(game, t=0)
+    np.testing.assert_allclose(sv_arr(sv, 4).sum(), values[:, 0].sum(), atol=1e-6)
+    # >= 50 draws but at most a handful of batched evaluator calls
+    assert len(calls) <= 6, f"Fed_SV made {len(calls)} evaluator calls: {calls}"
+
+
+def test_fed_sv_multi_round_pending_carryover():
+    """Prefetched-but-unconsumed draws must carry into the next round so the
+    rng stream matches a sequential implementation across rounds."""
+    values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
+    game, _ = counted_game(4, values)
+    fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    fsv.CONVERGE_MIN_K = 30
+    fsv.compute_shapley_value(game, t=0)
+    pending_after_r0 = list(fsv._pending)
+    game2, _ = counted_game(4, values)
+    sv1 = fsv.compute_shapley_value(game2, t=1)
+    assert set(sv1) == {0, 1, 2, 3}
+    if pending_after_r0:
+        # round 1 consumed the carried-over draws first
+        assert fsv._pending != pending_after_r0
+
+
 # ---------------------------------------------------------------------------
 # MILP
 # ---------------------------------------------------------------------------
