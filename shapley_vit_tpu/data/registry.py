@@ -109,6 +109,54 @@ def _try_torchvision(name: str, data_dir: str):
         return None
 
 
+def _try_disk_folders(name: str, data_dir: str, image_size: int):
+    """On-disk loaders for layouts torchvision can't fetch here:
+    CINIC-10 ``{train,valid,test}/<class>/*`` directory trees (reference
+    utils.py:375-392), COVID ``{train,test}/<class>`` ImageFolder
+    (utils.py:212-248), ISIC-2019 CSV+images (utils.py:87-140), DR-Kaggle
+    trainLabels.csv (utils.py:142-210). Returns (train, val, test)
+    ArrayDatasets or None when the layout is absent."""
+    from shapley_vit_tpu.data.medical import (
+        load_dr_kaggle,
+        load_imagefolder,
+        load_isic,
+    )
+
+    try:
+        if name == "cinic10":
+            root = data_dir
+            if not os.path.isdir(os.path.join(root, "train")):
+                for sub in ("cinic10", "CINIC-10"):
+                    cand = os.path.join(data_dir, sub)
+                    if os.path.isdir(os.path.join(cand, "train")):
+                        root = cand
+                        break
+                else:
+                    return None
+            train = load_imagefolder(os.path.join(root, "train"), image_size)
+            test = load_imagefolder(os.path.join(root, "test"), image_size)
+            val_dir = os.path.join(root, "valid")
+            val = load_imagefolder(val_dir, image_size) if os.path.isdir(val_dir) else test
+            return train, val, test
+        if name == "covid-19":
+            if not os.path.isdir(os.path.join(data_dir, "train")):
+                return None
+            train = load_imagefolder(os.path.join(data_dir, "train"), image_size)
+            test = load_imagefolder(os.path.join(data_dir, "test"), image_size)
+            return train, test, test
+        if name == "isic2019":
+            full = load_isic(data_dir, image_size)
+            train, test = full.split(test_size=0.2, seed=42, stratify=True)
+            return train, test, test
+        if name == "dr-kaggle":
+            full = load_dr_kaggle(data_dir, image_size)
+            train, test = full.split(test_size=0.2, seed=42, stratify=True)
+            return train, test, test
+    except FileNotFoundError:
+        return None
+    return None
+
+
 def _tabular(name: str, data_dir: str, synthetic_ok: bool, seed: int):
     """COMPAS / Adult tabular sets with a binary sensitive attribute and
     per-group validation splits (utils.py:394-455)."""
@@ -164,11 +212,18 @@ def get_dataset(
         except FileNotFoundError:
             if not synthetic_ok:
                 raise
-            spec = _IMAGE_SPECS["oct"]
+            name = "oct"  # aliases fall through to the synthetic OCT generator
 
     if name not in _IMAGE_SPECS:
         raise ValueError(f"unknown dataset {name!r}")
     num_classes, h, w, c, train_n, test_n = _IMAGE_SPECS[name]
+
+    if data_dir:
+        disk = _try_disk_folders(name, data_dir, image_size=h)
+        if disk is not None:
+            train, val, test = disk
+            info = dict(num_classes=num_classes, im_size=(h, w), channels=c)
+            return dict(train=train, val=val, test=test), info
 
     loaded = _try_torchvision(name, data_dir) if data_dir else None
     if loaded is not None:

@@ -26,6 +26,7 @@ raises): we raise with the offending coalition indices instead.
 
 from __future__ import annotations
 
+import weakref
 from typing import Any, Callable, Iterable, Optional, Tuple
 
 import jax
@@ -33,6 +34,25 @@ import jax.numpy as jnp
 import numpy as np
 
 PyTree = Any
+
+# One jitted eval step per forward_fn: repeated evaluate_model calls (e.g.
+# driver/serve.py calls it twice per round) must not rebuild a fresh jitted
+# callable each time — that costs a retrace-equality check + cache lookup per
+# call and defeats jit's own cache when the lambda identity changes.
+_EVAL_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cached_eval_step(forward_fn: Callable) -> Callable:
+    step = _EVAL_STEP_CACHE.get(forward_fn)
+    if step is None:
+        step = jax.jit(lambda p, x, y: eval_step_metrics(forward_fn(p, x), y))
+        try:
+            _EVAL_STEP_CACHE[forward_fn] = step
+        except TypeError:
+            pass  # non-weakref-able callable: fall back to per-call jit
+    return step
 
 
 def eval_step_metrics(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -63,7 +83,7 @@ def evaluate_model(
     reference divides by ``len(eval_loader.dataset)``, utils.py:924-926);
     defaults to the number of examples seen.
     """
-    step = jax.jit(lambda p, x, y: eval_step_metrics(forward_fn(p, x), y))
+    step = _cached_eval_step(forward_fn)
     correct = jnp.zeros((), jnp.float32)
     loss = jnp.zeros((), jnp.float32)
     seen = 0
@@ -96,8 +116,10 @@ def suggest_coalition_chunk(
     C·B·N·D·act_bytes·multiplier (multiplier ≈ 20 covers the residual
     stream, attention probs, and MLP intermediates surviving XLA liveness
     analysis — calibrated on ViT-B/224 @ B=128, where chunk 16 fits a 16GB
-    v5e and 101 coalitions OOM). Returns 0 (no chunking) when everything
-    fits."""
+    v5e and 101 coalitions OOM). Always returns >= 1; the evaluator only
+    splits when the coalition count exceeds the returned chunk, so a large
+    return value means "no chunking needed". The multiplier is a single-point
+    fit — recalibrate if batch or image size changes materially."""
     per_coalition = batch_size * seq_len * hidden * act_bytes * activation_multiplier
     chunk = int(safety * hbm_bytes / per_coalition)
     return max(1, chunk)
@@ -122,9 +144,9 @@ def make_coalition_evaluator(
     (game2.py:106-110 under utils_shapley.py:284-301).
 
     ``coalition_chunk > 0`` chunks the coalition axis to bound memory for
-    full-delta (non-LoRA) configs (SURVEY.md §7 "hard parts"); with chunking,
-    pass ``batches`` as a list or a () -> iterable factory, not a one-shot
-    generator.
+    full-delta (non-LoRA) configs (SURVEY.md §7 "hard parts"). A one-shot
+    generator passed as ``batches`` is materialized into a list up front so
+    every coalition chunk sees the full validation stream.
     """
     vstep = jax.vmap(
         lambda s, p, x, y: eval_step_metrics(forward_fn(s, p, x), y),
@@ -139,6 +161,15 @@ def make_coalition_evaluator(
         dataset_size: Optional[int] = None,
     ) -> np.ndarray:
         C = jax.tree.leaves(stacked_varying)[0].shape[0]
+        if (
+            coalition_chunk
+            and C > coalition_chunk
+            and not callable(batches)
+            and not isinstance(batches, (list, tuple))
+        ):
+            # a one-shot generator would be exhausted by the first chunk,
+            # silently zeroing later chunks' accumulators
+            batches = list(batches)
 
         def run_chunk(params_chunk):
             cc = jax.tree.leaves(params_chunk)[0].shape[0]

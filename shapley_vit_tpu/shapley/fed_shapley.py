@@ -43,8 +43,14 @@ def compute_shapley_corrected(
     sv = {int(c): 0.0 for c in participating_clients}
     if N == 0:
         return sv
+    members = set(int(c) for c in participating_clients)
     for S, u in utilities_dict.items():
         if S == ():
+            continue
+        # utilities_dict may enumerate the FULL client powerset (e.g. from
+        # compute_utilities_lazy); the formula runs over subsets of the
+        # participating set only, so skip any subset containing outsiders.
+        if not members.issuperset(int(c) for c in S):
             continue
         for cid in S:
             rest = tuple(i for i in S if i != cid)

@@ -73,3 +73,52 @@ def test_load_imagefolder(tmp_path, rng):
     ds = medical.load_imagefolder(str(tmp_path), image_size=16)
     assert len(ds) == 6
     assert ds.classes == ["covid", "normal", "pneumonia"]
+
+
+# ---------------------------------------------------------------------------
+# registry disk-folder paths (VERDICT missing #3: CINIC-10/COVID ImageFolder)
+# ---------------------------------------------------------------------------
+
+def _write_folder_tree(root, split_names, classes, rng, n_per=2, size=36):
+    from PIL import Image
+
+    for split in split_names:
+        for cls in classes:
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n_per):
+                Image.fromarray(
+                    (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                ).save(d / f"{cls}_{i}.png")
+
+
+def test_registry_cinic10_from_disk(tmp_path, rng):
+    from shapley_vit_tpu.data.registry import get_dataset
+
+    classes = [f"c{i}" for i in range(10)]
+    _write_folder_tree(tmp_path / "CINIC-10", ["train", "valid", "test"], classes, rng)
+    splits, info = get_dataset("cinic10", data_dir=str(tmp_path))
+    assert info["num_classes"] == 10
+    assert len(splits["train"]) == 20 and len(splits["val"]) == 20
+    assert splits["train"].images.shape[1:] == (32, 32, 3)  # resized to spec
+    # real files, not synthetic
+    assert not splits["train"].names[0].endswith(".synthetic")
+
+
+def test_registry_covid_from_disk(tmp_path, rng):
+    from shapley_vit_tpu.data.registry import get_dataset
+
+    classes = ["covid", "normal", "pneumonia"]
+    _write_folder_tree(tmp_path, ["train", "test"], classes, rng)
+    splits, info = get_dataset("covid-19", data_dir=str(tmp_path))
+    assert info["num_classes"] == 3
+    assert len(splits["train"]) == 6
+    assert splits["val"] is splits["test"]  # reference has no covid val split
+    assert not splits["train"].names[0].endswith(".synthetic")
+
+
+def test_registry_disk_absent_falls_back_synthetic(tmp_path):
+    from shapley_vit_tpu.data.registry import get_dataset
+
+    splits, info = get_dataset("cinic10", data_dir=str(tmp_path / "empty"))
+    assert splits["train"].names[0].endswith(".synthetic")
