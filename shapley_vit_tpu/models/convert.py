@@ -132,6 +132,7 @@ def peft_lora_to_tree(state_dict: Mapping[str, Any], spec: ViTSpec) -> PyTree:
     B = {t: np.zeros((L, r, D), np.float32) for t in ("q", "v")}
     cls_w = None
     cls_b = None
+    cls_from_saved = {"weight": False, "bias": False}
     found_a = set()
     for k, v in sd.items():
         m = _LORA_A_RE.fullmatch(k)
@@ -145,7 +146,16 @@ def peft_lora_to_tree(state_dict: Mapping[str, Any], spec: ViTSpec) -> PyTree:
             continue
         m = _CLS_RE.fullmatch(k)
         if m:
-            if m.group(1) == "weight":
+            # peft keeps TWO classifier copies: the trainable
+            # ``modules_to_save`` one and the frozen ``original_module`` one
+            # (stripped to a bare ``classifier.*`` key). The trainable copy
+            # must win regardless of state-dict key order.
+            saved = "modules_to_save" in k
+            name = m.group(1)
+            if cls_from_saved[name] and not saved:
+                continue
+            cls_from_saved[name] = saved
+            if name == "weight":
                 cls_w = v.T.copy()
             else:
                 cls_b = v.copy()
@@ -159,6 +169,130 @@ def peft_lora_to_tree(state_dict: Mapping[str, Any], spec: ViTSpec) -> PyTree:
         "lora": {t: {"A": A[t], "B": B[t]} for t in ("q", "v")},
         "classifier": {"kernel": cls_w, "bias": cls_b},
     }
+
+
+# ---------------------------------------------------------------------------
+# Inception-v3 defense net: reference torch checkpoint -> flax variables
+# (reference get_net loads ``inceptionv3_state.pth`` into ``net.net``,
+# models/inception.py:495-509 — its py2 ``has_key`` made that path dead; this
+# is the working equivalent for our flax Inception3.)
+# ---------------------------------------------------------------------------
+
+# flax nn.compact auto-names submodules in call order; these tables map each
+# BasicConv2d_{i} to the reference's attribute (+ Sequential index) names.
+_INCEPTION_STEM = ["conv2d_1a", "conv2d_2a", "conv2d_2b", "conv2d_3b", "conv2d_4a"]
+_INCEPTION_BLOCKS = [
+    ("InceptionA_0", "Mixed_5b"), ("InceptionA_1", "Mixed_5c"),
+    ("InceptionA_2", "Mixed_5d"), ("InceptionB_0", "Mixed_6a"),
+    ("InceptionC_0", "Mixed_6b"), ("InceptionC_1", "Mixed_6c"),
+    ("InceptionC_2", "Mixed_6d"), ("InceptionC_3", "Mixed_6e"),
+    ("InceptionD_0", "Mixed_7a"),
+    ("InceptionE_0", "Mixed_7b"), ("InceptionE_1", "Mixed_7c"),
+]
+_BLOCK_CONV_ORDER = {
+    # reference inception.py:10-37 (branch3 Sequential: [AvgPool, BasicConv2d])
+    "InceptionA": ["branch0.0", "branch1.0", "branch1.1",
+                   "branch2.0", "branch2.1", "branch2.2", "branch3.1"],
+    # inception.py:41-58
+    "InceptionB": ["branch0.0", "branch1.0", "branch1.1", "branch1.2"],
+    # inception.py:62-93
+    "InceptionC": ["branch0.0", "branch1.0", "branch1.1", "branch1.2",
+                   "branch2.0", "branch2.1", "branch2.2", "branch2.3",
+                   "branch2.4", "branch3.1"],
+    # inception.py:96-114
+    "InceptionD": ["branch0.0", "branch0.1",
+                   "branch1.0", "branch1.1", "branch1.2", "branch1.3"],
+    # inception.py:117-155 (branch1_*/branch2_* are bare attributes)
+    "InceptionE": ["branch0.0", "branch1_0", "branch1_1", "branch1_2",
+                   "branch2_0", "branch2_1", "branch2_2", "branch2_3",
+                   "branch3.1"],
+}
+
+
+def torch_inception3_to_flax(
+    state_dict: Mapping[str, Any], variables: PyTree
+) -> PyTree:
+    """Overlay a reference-format torch Inception3 state dict onto flax-init
+    ``variables`` ({'params', 'batch_stats'} from ``Inception3.init`` or the
+    paired defense ``Net.init``).
+
+    Layout transforms: Conv2d ``[O, I, kh, kw]`` -> ``[kh, kw, I, O]``;
+    BatchNorm weight/bias -> scale/bias, running stats -> batch_stats;
+    Linear ``[O, I]`` -> ``[I, O]``. Keys absent from the state dict (e.g.
+    the Denoise front-end, which the reference's pretrained file does not
+    carry) keep their initialized values. Raises on unconsumed state-dict
+    keys so silent partial loads are impossible.
+    """
+    import jax
+    from flax.core import unfreeze
+
+    sd = dict(torch_state_dict_to_numpy(state_dict))
+    sd.pop("_metadata", None)
+    # fresh mutable nested dicts with numpy leaves
+    params = jax.tree.map(np.array, unfreeze(variables["params"]))
+    bstats = jax.tree.map(np.array, unfreeze(variables["batch_stats"]))
+
+    # the paired Net nests the inception under scope "net"
+    if "BasicConv2d_0" in params:
+        p_root, s_root = params, bstats
+    elif "net" in params:
+        p_root, s_root = params["net"], bstats["net"]
+    else:
+        raise ValueError("variables do not look like Inception3 or Net init")
+
+    consumed = set()
+
+    def take(key: str) -> Optional[np.ndarray]:
+        if key in sd:
+            consumed.add(key)
+            return sd[key]
+        return None
+
+    def put_basic(p_parent, s_parent, flax_name: str, torch_prefix: str) -> None:
+        w = take(f"{torch_prefix}.conv.weight")
+        if w is None:
+            return  # not in the checkpoint: keep init
+        dst_p = p_parent[flax_name]
+        dst_s = s_parent[flax_name]
+        expect = dst_p["Conv_0"]["kernel"].shape
+        got = w.transpose(2, 3, 1, 0)
+        if got.shape != expect:
+            raise ValueError(
+                f"{torch_prefix}: conv shape {got.shape} != flax {expect}"
+            )
+        dst_p["Conv_0"]["kernel"] = got.copy()
+        dst_p["BatchNorm_0"]["scale"] = take(f"{torch_prefix}.bn.weight").copy()
+        dst_p["BatchNorm_0"]["bias"] = take(f"{torch_prefix}.bn.bias").copy()
+        dst_s["BatchNorm_0"]["mean"] = take(f"{torch_prefix}.bn.running_mean").copy()
+        dst_s["BatchNorm_0"]["var"] = take(f"{torch_prefix}.bn.running_var").copy()
+        take(f"{torch_prefix}.bn.num_batches_tracked")  # consume, unused
+
+    for i, torch_name in enumerate(_INCEPTION_STEM):
+        put_basic(p_root, s_root, f"BasicConv2d_{i}", torch_name)
+    for flax_block, torch_block in _INCEPTION_BLOCKS:
+        kind = flax_block.rsplit("_", 1)[0]
+        blk_p = p_root[flax_block]
+        blk_s = s_root[flax_block]
+        for i, sub in enumerate(_BLOCK_CONV_ORDER[kind]):
+            put_basic(blk_p, blk_s, f"BasicConv2d_{i}", f"{torch_block}.{sub}")
+    w = take("classif.weight")
+    if w is not None:
+        if w.T.shape != p_root["Dense_0"]["kernel"].shape:
+            raise ValueError(
+                f"classif: shape {w.T.shape} != flax "
+                f"{p_root['Dense_0']['kernel'].shape} (num_classes mismatch?)"
+            )
+        p_root["Dense_0"]["kernel"] = w.T.copy()
+        p_root["Dense_0"]["bias"] = take("classif.bias").copy()
+
+    leftovers = [k for k in sd if k not in consumed and not k.startswith("denoise.")]
+    if leftovers:
+        raise ValueError(f"unconsumed inception state-dict keys: {leftovers[:8]}")
+
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = bstats
+    return out
 
 
 def tree_to_peft_lora(lora_tree: PyTree, spec: ViTSpec, prefix: str = "base_model.model.") -> Dict[str, np.ndarray]:

@@ -370,17 +370,37 @@ class Net(nn.Module):
 def get_net(input_size, block=DenoiseConv, fwd_out=(64, 128, 256, 256, 256),
             num_fwd=(2, 3, 3, 3, 3), back_out=(64, 128, 256, 256),
             num_back=(2, 3, 3, 3), n=1, hard_mining=0.0, loss_norm=False,
-            pretrained_path: Optional[str] = None):
-    """Build the paired defense net (inception.py:495-509). The reference's
-    pretrained load is py2-dead (``has_key``); here a torch checkpoint path
-    can be passed explicitly, else random init."""
+            pretrained_path: Optional[str] = None, rng=None):
+    """Build the paired defense net (inception.py:495-509).
+
+    With ``pretrained_path`` (the reference's ``inceptionv3_state.pth`` — a
+    torch state dict in the reference's own ``conv2d_1a``/``Mixed_5b``/
+    ``classif`` naming) this also initializes and returns the flax variables
+    with the inception weights overlaid, mirroring the reference's load into
+    ``net.net`` (its py2 ``has_key`` path was dead; this one works):
+    returns ``(net, variables)``. Without it, returns ``net`` only —
+    initialize with ``net.init`` as usual.
+    """
     net = Net(input_size=tuple(input_size), block=block, fwd_out=tuple(fwd_out),
               num_fwd=tuple(num_fwd), back_out=tuple(back_out),
               num_back=tuple(num_back), n=n, hard_mining=hard_mining,
               loss_norm=loss_norm)
     if pretrained_path is not None:
-        raise NotImplementedError(
-            "torch inceptionv3_state.pth conversion is not wired; "
-            "pass pretrained weights as flax variables instead"
-        )
+        import numpy as np
+
+        from shapley_vit_tpu.models.convert import torch_inception3_to_flax
+
+        if pretrained_path.endswith(".npz"):
+            with np.load(pretrained_path) as z:
+                sd = {k: z[k] for k in z.files}
+        else:
+            import torch
+
+            sd = torch.load(pretrained_path, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+        rng = rng if rng is not None else jax.random.key(0)
+        dummy = jnp.zeros((1, input_size[0], input_size[1], 3), jnp.float32)
+        variables = net.init(rng, dummy, dummy, requires_control=False)
+        return net, torch_inception3_to_flax(sd, variables)
     return net

@@ -72,6 +72,114 @@ def test_denoise_loss_semantics():
     np.testing.assert_allclose(hm, 2.0, atol=1e-6)
 
 
+def _reference_style_state_dict(variables, rng):
+    """Synthesize a torch-format Inception3 state dict in the REFERENCE's
+    naming (conv2d_1a / Mixed_5b.branch0.0 / classif) with random values,
+    shapes derived from the flax init via the inverse layout transforms."""
+    from shapley_vit_tpu.models import convert as cv
+
+    p = variables["params"]
+    s = variables["batch_stats"]
+    if "net" in p:
+        p, s = p["net"], s["net"]
+    sd = {}
+
+    def emit(src_p, src_s, flax_name, torch_prefix):
+        kern = np.asarray(src_p[flax_name]["Conv_0"]["kernel"])  # [kh,kw,I,O]
+        sd[f"{torch_prefix}.conv.weight"] = rng.normal(
+            size=(kern.shape[3], kern.shape[2], kern.shape[0], kern.shape[1])
+        ).astype(np.float32)
+        C = kern.shape[3]
+        sd[f"{torch_prefix}.bn.weight"] = rng.normal(size=C).astype(np.float32)
+        sd[f"{torch_prefix}.bn.bias"] = rng.normal(size=C).astype(np.float32)
+        sd[f"{torch_prefix}.bn.running_mean"] = rng.normal(size=C).astype(np.float32)
+        sd[f"{torch_prefix}.bn.running_var"] = np.abs(
+            rng.normal(size=C)
+        ).astype(np.float32) + 0.5
+
+    for i, name in enumerate(cv._INCEPTION_STEM):
+        emit(p, s, f"BasicConv2d_{i}", name)
+    for flax_block, torch_block in cv._INCEPTION_BLOCKS:
+        kind = flax_block.rsplit("_", 1)[0]
+        for i, sub in enumerate(cv._BLOCK_CONV_ORDER[kind]):
+            emit(p[flax_block], s[flax_block], f"BasicConv2d_{i}", f"{torch_block}.{sub}")
+    k = np.asarray(p["Dense_0"]["kernel"])  # [I,O]
+    sd["classif.weight"] = rng.normal(size=(k.shape[1], k.shape[0])).astype(np.float32)
+    sd["classif.bias"] = rng.normal(size=k.shape[1]).astype(np.float32)
+    return sd
+
+
+def test_torch_inception3_to_flax_full_coverage():
+    """Every reference-named tensor lands in the right flax slot with the
+    right layout; unconsumed keys raise (VERDICT missing #2: the pretrained
+    inceptionv3_state.pth load path, reference inception.py:495-509)."""
+    from shapley_vit_tpu.models import convert as cv
+
+    x = jnp.zeros((1, 299, 299, 3))
+    model = inc.Inception3(num_classes=7)
+    variables = model.init(jax.random.key(0), x, train=False)
+    rng = np.random.default_rng(3)
+    sd = _reference_style_state_dict(variables, rng)
+
+    loaded = cv.torch_inception3_to_flax(sd, variables)
+
+    # spot-check layout on the stem conv + classifier
+    np.testing.assert_array_equal(
+        loaded["params"]["BasicConv2d_0"]["Conv_0"]["kernel"],
+        sd["conv2d_1a.conv.weight"].transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_array_equal(
+        loaded["params"]["Dense_0"]["kernel"], sd["classif.weight"].T
+    )
+    np.testing.assert_array_equal(
+        loaded["batch_stats"]["InceptionE_1"]["BasicConv2d_8"]["BatchNorm_0"]["var"],
+        sd["Mixed_7c.branch3.1.bn.running_var"],
+    )
+    # every flax BasicConv2d received checkpoint values (full coverage):
+    # no conv kernel should equal its random init anymore
+    before = jax.tree.leaves(variables["params"])
+    after = jax.tree.leaves(loaded["params"])
+    changed = sum(
+        1 for b, a in zip(before, after)
+        if np.asarray(b).shape == np.asarray(a).shape and not np.allclose(b, a)
+    )
+    assert changed >= 94 * 2 + 2, f"only {changed} leaves overlaid"
+
+    # the loaded net must still run
+    out = model.apply(loaded, x, train=False)
+    assert out.shape == (1, 7)
+
+    # unconsumed keys raise instead of silently ignoring
+    sd_bad = dict(sd)
+    sd_bad["Mixed_9z.bogus.conv.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        cv.torch_inception3_to_flax(sd_bad, variables)
+
+
+def test_get_net_pretrained_path(tmp_path):
+    """get_net(pretrained_path=...) loads the reference checkpoint format
+    into the paired Net's inception subtree; denoise keys keep init."""
+    net = inc.Net(input_size=(75, 75), fwd_out=(8, 16), num_fwd=(1, 1),
+                  back_out=(8,), num_back=(1,), n=1, num_classes=1001)
+    x = jnp.zeros((1, 75, 75, 3))
+    variables = net.init(jax.random.key(1), x, x, requires_control=False, train=False)
+    rng = np.random.default_rng(5)
+    sd = _reference_style_state_dict(variables, rng)
+    path = str(tmp_path / "inceptionv3_state.npz")
+    np.savez(path, **sd)
+
+    net2, loaded = inc.get_net(
+        (75, 75), fwd_out=(8, 16), num_fwd=(1, 1), back_out=(8,), num_back=(1,),
+        pretrained_path=path, rng=jax.random.key(1)
+    )
+    np.testing.assert_array_equal(
+        loaded["params"]["net"]["BasicConv2d_0"]["Conv_0"]["kernel"],
+        sd["conv2d_1a.conv.weight"].transpose(2, 3, 1, 0),
+    )
+    out = net2.apply(loaded, x, x, requires_control=False, train=False)
+    assert out[0].shape[-1] == 1001
+
+
 def test_paired_net_small():
     net = inc.Net(input_size=(75, 75), fwd_out=(8, 16), num_fwd=(1, 1),
                   back_out=(8,), num_back=(1,), n=1, num_classes=5)
