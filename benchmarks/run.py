@@ -32,6 +32,10 @@ CONFIGS = {
     3: dict(variant="base", image=224, classes=1000, clients=8, estimator="monte_carlo", mc_m=20),
     4: dict(variant="base", image=224, classes=4, clients=10, estimator="gtg", dirichlet=0.3),
     5: dict(variant="large", image=224, classes=4, clients=16, estimator="fed_sv"),
+    # whole-model deltas (the reference's full state-dict aggregation,
+    # utils.py:735-749) — coalition axis carries complete ViT-B trees,
+    # chunked to bound HBM residency
+    6: dict(variant="base", image=224, classes=4, clients=3, estimator="exact", full_delta=True),
 }
 
 
@@ -57,7 +61,10 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     )
     base = jvit.init_vit(jax.random.key(seed), spec)
     lora0 = jvit.init_lora(jax.random.key(seed + 1), spec, classifier_from=base)
-    leaves, treedef = jax.tree.flatten(lora0)
+    # full_delta: deltas over the WHOLE base tree (the reference's complete
+    # state-dict aggregation, utils.py:735-749) instead of the LoRA overlay
+    delta_root = base if cfg.get("full_delta") else lora0
+    leaves, treedef = jax.tree.flatten(delta_root)
     deltas = [
         treedef.unflatten([
             0.02 * jax.random.normal(k, l.shape)
@@ -93,14 +100,30 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     chunk = ev.suggest_coalition_chunk(
         spec.seq_len, spec.hidden, batch, activation_multiplier=act_mult
     )
-    evaluator = ev.make_coalition_evaluator(
-        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=chunk,
-    )
     mat = jax.jit(tm.materialize_coalitions)
 
-    def eval_fn(W):
-        return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
+    if cfg.get("full_delta"):
+        # the coalition axis carries COMPLETE model trees (86M params each
+        # for ViT-B); chunk by weight residency too: C f32 trees must fit
+        # alongside activations
+        params_bytes = sum(x.size for x in jax.tree.leaves(base)) * 4
+        chunk = max(1, min(chunk, int(6e9 / params_bytes)))
+        evaluator = ev.make_coalition_evaluator(
+            lambda _s, v, x: jvit.vit_forward(v, None, x, spec),
+            coalition_chunk=chunk,
+        )
+
+        def eval_fn(W):
+            return evaluator({}, mat(base, stacked, W), data, dataset_size=val_size)
+
+    else:
+        evaluator = ev.make_coalition_evaluator(
+            lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+            coalition_chunk=chunk,
+        )
+
+        def eval_fn(W):
+            return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
 
     # warm-up: compile the eval at the estimator's coalition-batch shape so
     # wall_clock_s reports steady-state throughput (exact: the full powerset

@@ -45,6 +45,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     num_classes: int,
     label_flip_prob: float = 0.0,
+    remat: bool = False,
 ):
     """Build the jitted LoRA train step.
 
@@ -52,10 +53,17 @@ def make_train_step(
     ``step(base, lora, opt_state, images, labels, key) ->
     (lora, opt_state, loss)`` with mean-CE loss (reference client.py:64-69
     forward→CE→backward→step). Base params are a jit argument (frozen).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
+    pass recomputes activations instead of storing them — for full-model
+    (non-LoRA) fine-tuning of the zoo/base models whose saved intermediates
+    would not fit HBM (for the ViT path, prefer ``ViTSpec.remat`` which
+    checkpoints per scanned block at finer granularity).
     """
+    fwd = jax.checkpoint(forward_fn) if remat else forward_fn
 
     def loss_fn(lora, base, images, labels):
-        logits = forward_fn(base, lora, images)
+        logits = fwd(base, lora, images)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
         return jnp.mean(nll)
@@ -126,12 +134,15 @@ def make_multi_client_train_step(
     optimizer: optax.GradientTransformation,
     num_classes: int,
     label_flip_prob: float = 0.0,
+    remat: bool = False,
 ):
     """All-clients-in-one-program local step: vmap the single-client update
     over a stacked client axis (lora/opt_state/batch all carry a leading
     [n_clients] dim). This is what ``dryrun_multichip`` shards over the mesh
     coalition axis × data axis."""
-    single = make_train_step(forward_fn, optimizer, num_classes, label_flip_prob)
+    single = make_train_step(
+        forward_fn, optimizer, num_classes, label_flip_prob, remat=remat
+    )
 
     # vmap over (lora, opt_state, images, labels, key); base shared
     vstep = jax.vmap(

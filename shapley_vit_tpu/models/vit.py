@@ -62,6 +62,18 @@ class ViTSpec:
     # compute dtype), 'tanh' (tanh approximation in the compute dtype — the
     # fast TPU path, −17% forward time at bf16; ablation round 1)
     gelu: str = "exact_f32"
+    # matmul quantization: 'none' | 'int8' (dynamic W8A8 for the dense
+    # projections + MLP — the v5e MXU runs int8 at 2× bf16; softmax/LN/
+    # attention einsums/classifier stay high precision; ops/quant.py)
+    quant: str = "none"
+    # which dense matmuls quantize under quant='int8' (accuracy/speed knob;
+    # fc2's post-GELU activations are the usual outlier source)
+    quant_targets: tuple = ("patch", "q", "k", "v", "out", "fc1", "fc2")
+    # rematerialize each scanned block on the backward pass
+    # (jax.checkpoint): activation memory drops from O(L·intermediates) to
+    # O(L·residual + one block) — required for full-model (non-LoRA)
+    # fine-tuning of base/large variants (SURVEY.md §7 "hard parts")
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -192,6 +204,17 @@ def _layer_norm(x, scale, bias, eps):
     return (y * scale + bias).astype(x.dtype)
 
 
+def _dense(x, kernel, bias, spec: "ViTSpec", name: str = ""):
+    """Dense projection in the spec's matmul mode: plain compute-dtype
+    matmul, or dynamic-int8 (2× MXU rate on v5e) under ``quant='int8'``
+    when ``name`` is in ``spec.quant_targets``."""
+    if spec.quant == "int8" and name in spec.quant_targets:
+        from shapley_vit_tpu.ops.quant import dynamic_int8_dense
+
+        return dynamic_int8_dense(x, kernel, bias, out_dtype=x.dtype)
+    return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+
+
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
     """[B,H,W,C] -> [B, N, patch*patch*C] with HF ordering.
 
@@ -217,8 +240,10 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
     scaling = spec.lora_alpha / spec.lora_r
 
     def proj(p, name):
-        y = x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+        y = _dense(x, p["kernel"], p["bias"], spec, name)
         if lora_p is not None and name in lora_p:
+            # the rank-r path stays in the compute dtype: it's two skinny
+            # matmuls that gain nothing from int8 and would add quant noise
             a = lora_p[name]["A"].astype(x.dtype)
             b = lora_p[name]["B"].astype(x.dtype)
             y = y + (x @ a) @ b * jnp.asarray(scaling, x.dtype)
@@ -243,7 +268,7 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return ctx @ attn_p["out"]["kernel"].astype(x.dtype) + attn_p["out"]["bias"].astype(x.dtype)
+        return _dense(ctx, attn_p["out"]["kernel"], attn_p["out"]["bias"], spec, "out")
 
     q = proj(attn_p["q"], "q").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
     k = proj(attn_p["k"], "k").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
@@ -260,7 +285,7 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
-    return ctx @ attn_p["out"]["kernel"].astype(x.dtype) + attn_p["out"]["bias"].astype(x.dtype)
+    return _dense(ctx, attn_p["out"]["kernel"], attn_p["out"]["bias"], spec, "out")
 
 
 def _block(x, blk_p, lora_p, spec: ViTSpec):
@@ -269,14 +294,14 @@ def _block(x, blk_p, lora_p, spec: ViTSpec):
     y = _layer_norm(x, blk_p["ln1"]["scale"], blk_p["ln1"]["bias"], eps)
     x = x + _attention(y, blk_p["attn"], lora_p, spec)
     y = _layer_norm(x, blk_p["ln2"]["scale"], blk_p["ln2"]["bias"], eps)
-    y = y @ blk_p["mlp"]["fc1"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc1"]["bias"].astype(x.dtype)
+    y = _dense(y, blk_p["mlp"]["fc1"]["kernel"], blk_p["mlp"]["fc1"]["bias"], spec, "fc1")
     if spec.gelu == "exact_f32":  # HF parity: erf GELU with f32 compute
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
     elif spec.gelu == "exact":
         y = jax.nn.gelu(y, approximate=False)
     else:  # 'tanh' — fast TPU path
         y = jax.nn.gelu(y, approximate=True)
-    y = y @ blk_p["mlp"]["fc2"]["kernel"].astype(x.dtype) + blk_p["mlp"]["fc2"]["bias"].astype(x.dtype)
+    y = _dense(y, blk_p["mlp"]["fc2"]["kernel"], blk_p["mlp"]["fc2"]["bias"], spec, "fc2")
     return x + y
 
 
@@ -295,7 +320,7 @@ def vit_forward(
     """
     dt = spec.compute_dtype
     x = _patchify(images.astype(dt), spec.patch)
-    x = x @ base["patch_embed"]["kernel"].astype(dt) + base["patch_embed"]["bias"].astype(dt)
+    x = _dense(x, base["patch_embed"]["kernel"], base["patch_embed"]["bias"], spec, "patch")
     B = x.shape[0]
     cls = jnp.broadcast_to(base["cls_token"].astype(dt), (B, 1, spec.hidden))
     x = jnp.concatenate([cls, x], axis=1)
@@ -304,12 +329,16 @@ def vit_forward(
     blocks = base["blocks"]
     lora_blocks = lora["lora"] if lora is not None else None
 
-    # one compiled block, scanned over the stacked depth axis
+    # one compiled block, scanned over the stacked depth axis; under remat
+    # each block recomputes its intermediates on the backward pass
+    block_fn = _block
+    if spec.remat:
+        block_fn = jax.checkpoint(_block, static_argnums=(3,))
     if lora_blocks is None:
-        x, _ = jax.lax.scan(lambda c, bp: (_block(c, bp, None, spec), None), x, blocks)
+        x, _ = jax.lax.scan(lambda c, bp: (block_fn(c, bp, None, spec), None), x, blocks)
     else:
         x, _ = jax.lax.scan(
-            lambda c, ps: (_block(c, ps[0], ps[1], spec), None), x, (blocks, lora_blocks)
+            lambda c, ps: (block_fn(c, ps[0], ps[1], spec), None), x, (blocks, lora_blocks)
         )
 
     x = _layer_norm(x, base["final_ln"]["scale"], base["final_ln"]["bias"], spec.layernorm_eps)
