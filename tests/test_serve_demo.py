@@ -1,0 +1,48 @@
+"""The trained-delta service demo: clients really fine-tune, checkpoints flow
+through the atomic-rename ingestion, SV trajectories span >= 3 epochs
+(VERDICT round-1 next #6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.config import Config
+
+
+@pytest.mark.slow
+def test_serve_demo_three_epochs(tmp_path):
+    from examples.serve_demo import run_demo
+
+    cfg = Config()
+    cfg.model.vit_variant = "micro"
+    cfg.data.image_size = 16
+    cfg.data.eval_batch_size = 32
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    cfg.paths.global_model_path = str(tmp_path / "global")
+    cfg.data.synthetic_scale = 0.02
+
+    records, out = run_demo(cfg=cfg, epochs=3, n_clients=3, local_steps=2)
+
+    assert len(records) == 3
+    assert [r["epoch"] for r in records] == [0, 1, 2]
+    # trained (non-synthetic) deltas: SVs vary across clients and rounds
+    svs = [r["shapley"][0] for r in records]  # acc dim
+    all_vals = np.array([[sv[c] for c in sorted(sv)] for sv in svs])
+    assert all_vals.shape == (3, 3)
+    assert not np.allclose(all_vals, all_vals[0])  # trajectories move
+    assert np.abs(all_vals).sum() > 0  # not the degenerate all-zero seed
+    # utility chains round to round (global model actually advanced)
+    utilities = [tuple(r["utility"]) for r in records]
+    assert len(set(utilities)) > 1
+    # artifacts: per-round report + the trajectory plot
+    assert os.path.exists(os.path.join(out, "sv_trajectory.png"))
+    # every client checkpoint carried data-size metadata through ingestion
+    from shapley_vit_tpu.fl import ingestion
+
+    meta = ingestion.load_checkpoint_metadata(
+        os.path.join(cfg.paths.local_model_path, "client_1_model", "ViT_epoch_0.npz")
+    )
+    assert meta["num_local_data_train"] > 0
