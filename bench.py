@@ -43,9 +43,14 @@ def main():
     from shapley_vit_tpu.models import vit as jvit
     from shapley_vit_tpu.ops import tree_math as tm
 
-    # production fast-eval config: bf16 + tanh GELU (99.2% argmax agreement
-    # with the exact-f32 parity mode, +21% throughput — tools/gelu_experiments)
-    spec = jvit.make_spec("base", num_classes=4, dtype="bfloat16", gelu="tanh")
+    # production fast-eval config: bf16 + tanh GELU + dynamic-int8 q/k/v/fc1
+    # matmuls (tools/quant_ablation.py: +8% over bf16/tanh; 100% argmax
+    # agreement with exact-f32 on a trained model — random-init agreement is
+    # lower only because untrained logits cluster, BENCH_NOTES.md)
+    spec = jvit.make_spec(
+        "base", num_classes=4, dtype="bfloat16", gelu="tanh",
+        quant="int8", quant_targets=("q", "k", "v", "fc1"),
+    )
     base = jvit.init_vit(jax.random.key(0), spec)
     lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
     leaves, treedef = jax.tree.flatten(lora0)
@@ -124,7 +129,7 @@ def main():
             {
                 "metric": "coalition_evals_per_sec_per_chip_vitb16",
                 "value": round(evals_per_sec, 3),
-                "unit": f"coalition-evals/s (512-img val set, batch {BATCH}, bf16, 1 chip)",
+                "unit": f"coalition-evals/s (512-img val set, batch {BATCH}, bf16+int8, 1 chip)",
                 "vs_baseline": round(evals_per_sec / cpu_evals_per_sec, 1),
             }
         )

@@ -34,13 +34,24 @@ CONFIGS = {
     5: dict(variant="large", image=224, classes=4, clients=16, estimator="fed_sv"),
     # whole-model deltas (the reference's full state-dict aggregation,
     # utils.py:735-749) — coalition axis carries complete ViT-B trees,
-    # chunked to bound HBM residency
-    6: dict(variant="base", image=224, classes=4, clients=3, estimator="exact", full_delta=True),
+    # chunked to bound HBM residency. Full-delta eval is WEIGHT-bandwidth
+    # bound (each batch re-reads every coalition's 86M params), so it runs
+    # the largest batch that fits to amortize weight traffic.
+    6: dict(variant="base", image=224, classes=4, clients=3, estimator="exact",
+            full_delta=True, batch=512),
 }
 
 
 def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
     import jax
+
+    # persistent executable cache: MC estimators submit several coalition-
+    # batch shapes; re-runs and repeated shapes skip the remote compile
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from shapley_vit_tpu.fl import evaluation as ev
     from shapley_vit_tpu.models import vit as jvit
@@ -55,6 +66,7 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
 
     cfg = CONFIGS[idx]
     n = cfg["clients"]
+    batch = cfg.get("batch", batch)  # per-config override (e.g. full-delta)
     spec = jvit.make_spec(
         cfg["variant"], image=cfg["image"], num_classes=cfg["classes"],
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
@@ -104,19 +116,35 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
 
     if cfg.get("full_delta"):
         # the coalition axis carries COMPLETE model trees (86M params each
-        # for ViT-B); chunk by weight residency too: C f32 trees must fit
-        # alongside activations
-        params_bytes = sum(x.size for x in jax.tree.leaves(base)) * 4
+        # for ViT-B); chunk by weight residency too: C compute-dtype trees
+        # must fit alongside activations. Materialized trees are cast to the
+        # compute dtype ONCE — re-reading f32 weights per batch doubles the
+        # HBM traffic that dominates this config.
+        import jax.numpy as jnp
+
+        itemsize = jnp.dtype(spec.compute_dtype).itemsize
+        params_bytes = sum(x.size for x in jax.tree.leaves(base)) * itemsize
         chunk = max(1, min(chunk, int(6e9 / params_bytes)))
+        mat_cast = jax.jit(
+            lambda b, s, W: jax.tree.map(
+                lambda a: a.astype(spec.compute_dtype),
+                tm.materialize_coalitions(b, s, W),
+            )
+        )
         evaluator = ev.make_coalition_evaluator(
             lambda _s, v, x: jvit.vit_forward(v, None, x, spec),
             coalition_chunk=chunk,
         )
 
         def eval_fn(W):
-            return evaluator({}, mat(base, stacked, W), data, dataset_size=val_size)
+            return evaluator({}, mat_cast(base, stacked, W), data, dataset_size=val_size)
 
     else:
+        # NOTE: pad_buckets measured a wash here — each coalition eval is
+        # ~0.2s of ViT compute, so varying-C recompiles are amortized by the
+        # remote compiler's own cache while padding adds real work
+        # (BENCH_NOTES.md round 2). Bucketing stays for the long-running
+        # service where compile-cache growth matters.
         evaluator = ev.make_coalition_evaluator(
             lambda b, l, x: jvit.vit_forward(b, l, x, spec),
             coalition_chunk=chunk,
@@ -126,10 +154,12 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
             return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
 
     # warm-up: compile the eval at the estimator's coalition-batch shape so
-    # wall_clock_s reports steady-state throughput (exact: the full powerset
-    # C; MC estimators: per-call C varies, warm the single-coalition shape)
+    # wall_clock_s reports steady-state throughput. Exact estimators submit
+    # the FULL powerset in one call — warm that exact shape (the evaluator
+    # chunks internally, so this compiles every chunk shape plus the C-wide
+    # materialize). MC estimators vary C per call; warm the chunk shape.
     if cfg["estimator"] == "exact":
-        warm_C = min(2**n - 1, chunk) if chunk else 2**n - 1
+        warm_C = 2**n - 1
     else:
         warm_C = chunk or 1
     eval_fn(np.full((warm_C, n), 1.0 / n, dtype=np.float32))

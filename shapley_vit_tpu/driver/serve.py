@@ -70,6 +70,7 @@ def serve(
     evaluator = ev.make_coalition_evaluator(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
+        pad_buckets=True,  # per-round coalition counts vary; bound compiles
     )
     import jax
 

@@ -125,9 +125,17 @@ def suggest_coalition_chunk(
     return max(1, chunk)
 
 
+def _next_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def make_coalition_evaluator(
     forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
     coalition_chunk: int = 0,
+    pad_buckets: bool = False,
 ):
     """Build the batched primitive: evaluate C coalition models in one pass.
 
@@ -147,6 +155,15 @@ def make_coalition_evaluator(
     full-delta (non-LoRA) configs (SURVEY.md §7 "hard parts"). A one-shot
     generator passed as ``batches`` is materialized into a list up front so
     every coalition chunk sees the full validation stream.
+
+    ``pad_buckets=True`` pads each coalition chunk up to the next power of
+    two (capped at ``coalition_chunk``) by repeating the first row, then
+    drops the padded outputs. Sequential estimators (GTG/Fed-SV blocks)
+    submit a DIFFERENT coalition count per call; without bucketing every
+    distinct count compiles a fresh XLA program — on a remote-compile TPU
+    that dwarfs the eval itself. Buckets bound the compile count to
+    log2(chunk) shapes at the cost of ≤2× padded work on odd-sized chunks
+    (free in practice: the padded rows ride the same vmapped pass).
     """
     vstep = jax.vmap(
         lambda s, p, x, y: eval_step_metrics(forward_fn(s, p, x), y),
@@ -173,15 +190,30 @@ def make_coalition_evaluator(
 
         def run_chunk(params_chunk):
             cc = jax.tree.leaves(params_chunk)[0].shape[0]
-            correct = jnp.zeros((cc,), jnp.float32)
-            loss = jnp.zeros((cc,), jnp.float32)
+            target = cc
+            if pad_buckets:
+                target = _next_pow2(cc)
+                if coalition_chunk:
+                    target = min(target, max(coalition_chunk, 1))
+                target = max(target, cc)
+            if target != cc:
+                params_chunk = jax.tree.map(
+                    lambda leaf: jnp.concatenate(
+                        [leaf]
+                        + [leaf[:1]] * (target - cc),
+                        axis=0,
+                    ),
+                    params_chunk,
+                )
+            correct = jnp.zeros((target,), jnp.float32)
+            loss = jnp.zeros((target,), jnp.float32)
             seen = 0
             for images, labels in batches() if callable(batches) else batches:
                 c, l = jstep(shared, params_chunk, images, labels)
                 correct = correct + c
                 loss = loss + l
                 seen += len(labels)
-            return correct, loss, seen
+            return correct[:cc], loss[:cc], seen
 
         if coalition_chunk and C > coalition_chunk:
             outs = []

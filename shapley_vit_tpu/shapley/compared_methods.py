@@ -312,13 +312,29 @@ class GTG(ShapleyValue):
                 )
                 for pi in idxs
             ]
-            game.precompute(
-                [
-                    tuple(np.sort(idxs_k[:j], kind="mergesort").tolist())
-                    for idxs_k in perms
-                    for j in range(1, N + 1)
-                ]
-            )
+            # Predictive pruning (semantics-identical): walk each permutation
+            # with the values already known in the local util dict. Once a
+            # KNOWN v[j-1] triggers the truncation condition, the sequential
+            # path provably copies v forward for the rest of that permutation
+            # (|u_all − v| is then constant), so those prefixes never need
+            # evaluation. Where v[j-1] is unknown we stay conservative and
+            # batch the remaining unseen prefixes.
+            todo = []
+            u_all = util[S_all]
+            for idxs_k in perms:
+                v_prev = util[S_0]
+                known = True
+                for j in range(1, N + 1):
+                    if known and abs(u_all - v_prev) < self.eps:
+                        break
+                    C = tuple(np.sort(idxs_k[:j], kind="mergesort").tolist())
+                    if C in util:
+                        if known:
+                            v_prev = util[C]
+                    else:
+                        todo.append(C)
+                        known = False
+            game.precompute(todo)
             for idxs_k in perms:
                 k += 1
                 v = [0.0] * (N + 1)

@@ -125,3 +125,25 @@ def test_peft_classifier_trainable_copy_wins_any_order():
         tree = peft_lora_to_tree(build(frozen_first), spec)
         np.testing.assert_array_equal(tree["classifier"]["kernel"], trained_w.T)
         assert tree["classifier"]["bias"][0] == 1.0
+
+
+def test_pad_buckets_matches_unpadded():
+    """Bucket-padded evaluation returns identical utilities (padding rows are
+    computed and dropped); shapes submitted to XLA are bounded."""
+    def forward(shared, varying, x):
+        return x @ varying + shared
+
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(10, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=10)
+    shared = np.zeros((3,), np.float32)
+    batches = [(images, labels)]
+    for C in (1, 3, 5, 7, 9):
+        stacked = np.stack([np.eye(3, dtype=np.float32) * (i + 1) for i in range(C)])
+        plain = ev.make_coalition_evaluator(forward, coalition_chunk=4)(
+            shared, stacked, batches
+        )
+        padded = ev.make_coalition_evaluator(
+            forward, coalition_chunk=4, pad_buckets=True
+        )(shared, stacked, batches)
+        np.testing.assert_allclose(padded, plain, rtol=1e-6)
