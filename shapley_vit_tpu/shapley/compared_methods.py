@@ -13,15 +13,17 @@ preserved per method; two deliberate divergences:
     makes client 0 invisible; we implement the documented intent
     (membership of client i) and key results by the true client ids.
 
-All estimators pre-batch their coalition evaluations through
-``game.precompute``: MR/TMR/ComFedSV batch the full powerset; GTG batches all
-N prefixes of each convergence round's N permutations in one call; Fed-SV
-draws its length-sampled subsets in blocks (``draw_block``) and precomputes
-each block's distinct subsets in one call. The rng draw order is identical to
-a sequential loop, so sampled coalitions — and therefore the SV — match the
-streaming implementation exactly; the only difference is that evals a
-truncation/convergence exit would have skipped may run eagerly inside the
-batch (free on TPU, where a C-coalition vmapped pass costs ~the same as one).
+Batching: MR/TMR/ComFedSV pre-batch the full powerset through
+``game.precompute``. Fed-SV draws its length-sampled subsets in blocks
+(``draw_block``; the first CONVERGE_MIN_K draws are provably all consumed)
+and precomputes each block's distinct subsets in one call. GTG offers
+``batch_prefixes=True`` to precompute each convergence round's unseen prefix
+coalitions in one call (with predictive truncation pruning); the default
+streams, because on v5e each coalition eval is ~0.2 s of compute and C=1
+streaming already runs at full throughput while eager prefixes add work
+(measured — BENCH_NOTES.md round 2). In every mode the rng draw order is
+identical to a sequential loop, so sampled coalitions — and therefore the
+SV — match the streaming implementation exactly.
 """
 
 from __future__ import annotations
@@ -264,7 +266,12 @@ class Fed_SV(ShapleyValue):
 # ---------------------------------------------------------------------------
 
 class GTG(ShapleyValue):
-    def __init__(self, utility_index: int, rng: Optional[np.random.Generator] = None):
+    def __init__(
+        self,
+        utility_index: int,
+        rng: Optional[np.random.Generator] = None,
+        batch_prefixes: bool = False,
+    ):
         super().__init__()
         self.Ut = {}
         self.SV_t = {}
@@ -276,6 +283,15 @@ class GTG(ShapleyValue):
         self.CONVERGE_MIN_K = 3 * 10
         self.last_k = 10
         self.CONVERGE_CRITERIA = 0.05
+        # batch_prefixes=True precomputes each convergence round's prefix
+        # coalitions in one vmapped pass (identical rng stream and SVs).
+        # Default False: measured on v5e, each coalition eval is ~0.2 s of
+        # ViT compute so C=1 streaming already runs at full throughput, while
+        # eager prefix evaluation adds ~14% work that truncation would have
+        # skipped (BENCH_NOTES.md round 2). Turn on for dispatch-bound
+        # workloads: small models, tiny validation sets, or multi-chip meshes
+        # where per-call latency dominates.
+        self.batch_prefixes = batch_prefixes
 
     def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
         idxs = list(game.selected_clients)
@@ -297,44 +313,41 @@ class GTG(ShapleyValue):
         k = 0
         while self.isnotconverge(k):
             # Draw this convergence round's N permutations up front (same rng
-            # order as a sequential loop -> identical permutations and SV),
-            # then batch-evaluate EVERY prefix coalition in one
-            # game.precompute: one vmapped validation pass instead of up to
-            # N*N serial cache misses (the reference streams them one at a
-            # time, compared_methods.py:295-310). Prefixes the truncation
-            # branch would skip are evaluated eagerly — they cost nothing
-            # extra inside the batched pass and never change the SV because
-            # the local ``util`` dict below keeps the reference's
-            # truncated-value bookkeeping exactly.
+            # order as a sequential loop -> identical permutations and SV in
+            # both modes). Under batch_prefixes the unseen prefix coalitions
+            # evaluate in one vmapped game.precompute; the local ``util``
+            # dict below keeps the reference's truncated-value bookkeeping
+            # exactly either way.
             perms = [
                 np.concatenate(
                     (np.array([pi]), self.rng.permutation([p for p in idxs if p != pi]))
                 )
                 for pi in idxs
             ]
-            # Predictive pruning (semantics-identical): walk each permutation
-            # with the values already known in the local util dict. Once a
-            # KNOWN v[j-1] triggers the truncation condition, the sequential
-            # path provably copies v forward for the rest of that permutation
-            # (|u_all − v| is then constant), so those prefixes never need
-            # evaluation. Where v[j-1] is unknown we stay conservative and
-            # batch the remaining unseen prefixes.
-            todo = []
-            u_all = util[S_all]
-            for idxs_k in perms:
-                v_prev = util[S_0]
-                known = True
-                for j in range(1, N + 1):
-                    if known and abs(u_all - v_prev) < self.eps:
-                        break
-                    C = tuple(np.sort(idxs_k[:j], kind="mergesort").tolist())
-                    if C in util:
-                        if known:
-                            v_prev = util[C]
-                    else:
-                        todo.append(C)
-                        known = False
-            game.precompute(todo)
+            if self.batch_prefixes:
+                # Predictive pruning (semantics-identical): walk each
+                # permutation with the values already known in the local util
+                # dict. Once a KNOWN v[j-1] triggers the truncation condition,
+                # the sequential path provably copies v forward for the rest
+                # of that permutation (|u_all − v| is then constant), so those
+                # prefixes never need evaluation. Where v[j-1] is unknown we
+                # stay conservative and batch the remaining unseen prefixes.
+                todo = []
+                u_all = util[S_all]
+                for idxs_k in perms:
+                    v_prev = util[S_0]
+                    known = True
+                    for j in range(1, N + 1):
+                        if known and abs(u_all - v_prev) < self.eps:
+                            break
+                        C = tuple(np.sort(idxs_k[:j], kind="mergesort").tolist())
+                        if C in util:
+                            if known:
+                                v_prev = util[C]
+                        else:
+                            todo.append(C)
+                            known = False
+                game.precompute(todo)
             for idxs_k in perms:
                 k += 1
                 v = [0.0] * (N + 1)

@@ -140,11 +140,11 @@ def counted_game(n_all, values):
 
 
 def test_gtg_batches_prefix_evals():
-    """GTG must evaluate each convergence round's N*N prefix coalitions in
-    ONE evaluator call, not stream them (VERDICT round-1 weak #2)."""
+    """GTG(batch_prefixes=True) must evaluate each convergence round's
+    prefix coalitions in ONE evaluator call, not stream them."""
     values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
     game, calls = counted_game(4, values)
-    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0), batch_prefixes=True)
     sv = gtg.compute_shapley_value(game, t=0)
     np.testing.assert_allclose(sv_arr(sv, 4), values[:, 0], atol=0.5)
     # n=4 -> 15 distinct coalitions; everything lands within the first
@@ -299,3 +299,16 @@ def test_optimal_subset_selection():
     assert best == (0, 1)  # max acc + min loss
     d = fs.get_selection_dict(4, [1, 3])
     assert d == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_gtg_modes_produce_identical_sv():
+    """Streaming (default) and batch_prefixes GTG share the rng stream and
+    truncation bookkeeping -> identical SVs."""
+    values = np.array([[1.0, 0.2], [2.0, -0.1], [0.5, 0.4], [3.0, 0.0]])
+    svs = []
+    for batch in (False, True):
+        game = TabularGame(additive_table(values), n_all=4)
+        gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(7),
+                     batch_prefixes=batch)
+        svs.append(sv_arr(gtg.compute_shapley_value(game, t=0), 4))
+    np.testing.assert_allclose(svs[0], svs[1], atol=1e-12)
