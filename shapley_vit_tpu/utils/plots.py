@@ -25,6 +25,42 @@ def _mpl():
     return plt
 
 
+def _plotly():
+    """plotly.graph_objects or None — this container ships no plotly, so the
+    interactive backend is gated (reference utils_plot.py is plotly-only)."""
+    try:
+        import plotly.graph_objects as go
+
+        return go
+    except ImportError:
+        return None
+
+
+def _plotly_error_band_figure(go, groups, x_axis, y_axis, title, y_label):
+    """The reference's error-band ``line`` extension (utils_plot.py:5-44):
+    per group a mean trace plus a translucent upper/lower band."""
+    fig = go.Figure()
+    for name, agg in groups:
+        label = str(name) if name is not None else y_axis
+        fig.add_trace(
+            go.Scatter(x=list(agg[x_axis]), y=list(agg["mean"]),
+                       mode="lines", name=label)
+        )
+        if agg["std"].notna().any():
+            std = agg["std"].fillna(0)
+            fig.add_trace(
+                go.Scatter(
+                    x=list(agg[x_axis]) + list(agg[x_axis])[::-1],
+                    y=list(agg["mean"] + std) + list((agg["mean"] - std))[::-1],
+                    fill="toself", opacity=0.3, line=dict(width=0),
+                    showlegend=False, name=f"{label} ±std",
+                )
+            )
+    fig.update_layout(title=title, xaxis_title=x_axis,
+                      yaxis_title=y_label or y_axis)
+    return fig
+
+
 # ---------------------------------------------------------------------------
 # series plots (utils.py:1045-1131)
 # ---------------------------------------------------------------------------
@@ -95,12 +131,37 @@ def mean_std_df(df, group_columns, columns_to_agg):
 def nice_plot(
     df, x_axis: str, y_axis: str, group_by: Optional[str] = None,
     error_band: bool = True, title: str = "", save_path: Optional[str] = None,
-    y_label: Optional[str] = None,
+    y_label: Optional[str] = None, backend: str = "auto",
 ):
-    """Mean±std error-band line plot per group (utils_plot.py:132-244's
-    plotly version, rendered with matplotlib)."""
-    plt = _mpl()
+    """Mean±std error-band line plot per group (utils_plot.py:132-244).
+
+    ``backend``: 'auto' uses plotly (interactive HTML, the reference's
+    medium) when importable and falls back to matplotlib; 'plotly' requires
+    it; 'matplotlib' forces the static render. With plotly, an ``.html``
+    ``save_path`` writes a self-contained interactive file.
+    """
     assert x_axis in df.columns and y_axis in df.columns
+    if backend in ("auto", "plotly"):
+        go = _plotly()
+        if go is None and backend == "plotly":
+            raise ImportError("backend='plotly' requested but plotly is not installed")
+        if go is not None:
+            groups = [(None, df)] if group_by is None else list(df.groupby(group_by))
+            aggs = [
+                (name, g.groupby(x_axis)[y_axis].agg(["mean", "std"]).reset_index())
+                for name, g in groups
+            ]
+            if not error_band:
+                for _, agg in aggs:
+                    agg["std"] = np.nan
+            fig = _plotly_error_band_figure(go, aggs, x_axis, y_axis, title, y_label)
+            if save_path:
+                if str(save_path).endswith(".html"):
+                    fig.write_html(save_path)
+                else:
+                    fig.write_image(save_path)
+            return fig
+    plt = _mpl()
     fig, ax = plt.subplots(figsize=(7, 4.5))
     groups = [(None, df)] if group_by is None else list(df.groupby(group_by))
     for name, g in groups:

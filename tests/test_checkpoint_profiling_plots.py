@@ -140,3 +140,24 @@ def test_cent_sgd_end_to_end(tmp_path):
         ["--save_root", str(tmp_path / "result")]
     ))
     assert args2.exp_seq == "1"
+
+
+def test_nice_plot_backend_gating():
+    """plotly is absent in this image: backend='auto' must fall back to
+    matplotlib, backend='plotly' must raise, 'matplotlib' always works."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from shapley_vit_tpu.utils import plots
+
+    df = pd.DataFrame(
+        {"epoch": [0, 0, 1, 1], "acc": [0.1, 0.2, 0.3, 0.4], "run": [0, 1, 0, 1]}
+    )
+    has_plotly = plots._plotly() is not None
+    fig = plots.nice_plot(df, "epoch", "acc", backend="auto")
+    assert fig is not None
+    fig2 = plots.nice_plot(df, "epoch", "acc", backend="matplotlib")
+    assert type(fig2).__module__.startswith("matplotlib")
+    if not has_plotly:
+        with _pytest.raises(ImportError):
+            plots.nice_plot(df, "epoch", "acc", backend="plotly")
