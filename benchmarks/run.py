@@ -42,7 +42,7 @@ CONFIGS = {
 }
 
 
-def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
+def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0) -> dict:
     import jax
 
     # persistent executable cache: MC estimators submit several coalition-
@@ -66,7 +66,9 @@ def run_config(idx: int, val_size: int, batch: int, seed: int = 0) -> dict:
 
     cfg = CONFIGS[idx]
     n = cfg["clients"]
-    batch = cfg.get("batch", batch)  # per-config override (e.g. full-delta)
+    # explicit CLI --batch wins; else the per-config default (full-delta
+    # wants 512 to amortize weight traffic); else 128
+    batch = batch if batch is not None else cfg.get("batch", 128)
     spec = jvit.make_spec(
         cfg["variant"], image=cfg["image"], num_classes=cfg["classes"],
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
@@ -207,7 +209,9 @@ def main():
     p.add_argument("--config", type=int, choices=sorted(CONFIGS), default=1)
     p.add_argument("--all", action="store_true")
     p.add_argument("--val-size", type=int, default=256)
-    p.add_argument("--batch", type=int, default=128)
+    # None = per-config default (config 6 wants batch 512); an explicit
+    # --batch always wins
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 

@@ -49,6 +49,9 @@ def run_demo(cfg=None, epochs: int = 3, n_clients: int = 3, local_steps: int = 4
         cfg.paths.global_model_path = os.path.join(cfg.obs.exp_dir, "global")
         cfg.data.synthetic_scale = 0.02
     assert cfg.paths.local_model_path and cfg.paths.global_model_path
+    # the service watches/scores cfg.shapley.num_clients clients — keep it
+    # in lockstep with the trainer fleet size or the round never completes
+    cfg.shapley.num_clients = n_clients
 
     spec, base, init_lora = start_mod.build_model(cfg)
 

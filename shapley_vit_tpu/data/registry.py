@@ -134,15 +134,25 @@ def _try_disk_folders(name: str, data_dir: str, image_size: int):
                 else:
                     return None
             train = load_imagefolder(os.path.join(root, "train"), image_size)
-            test = load_imagefolder(os.path.join(root, "test"), image_size)
+            # thread the TRAIN split's class order into the other splits: a
+            # split directory missing a class folder would otherwise derive
+            # its own sorted mapping and silently misalign labels
+            classes = train.classes
+            test = load_imagefolder(os.path.join(root, "test"), image_size, classes=classes)
             val_dir = os.path.join(root, "valid")
-            val = load_imagefolder(val_dir, image_size) if os.path.isdir(val_dir) else test
+            val = (
+                load_imagefolder(val_dir, image_size, classes=classes)
+                if os.path.isdir(val_dir)
+                else test
+            )
             return train, val, test
         if name == "covid-19":
             if not os.path.isdir(os.path.join(data_dir, "train")):
                 return None
             train = load_imagefolder(os.path.join(data_dir, "train"), image_size)
-            test = load_imagefolder(os.path.join(data_dir, "test"), image_size)
+            test = load_imagefolder(
+                os.path.join(data_dir, "test"), image_size, classes=train.classes
+            )
             return train, test, test
         if name == "isic2019":
             full = load_isic(data_dir, image_size)

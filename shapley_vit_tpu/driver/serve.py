@@ -100,9 +100,9 @@ def serve(
             watch.paths, current_overlay, spec
         )
         # per-client data sizes from checkpoint metadata drive the FedAvg
-        # ratios (load-bearing for SV — reference server2.py:68-81); clients
-        # without metadata fall back to weight 1
-        num_local_data = [float(s) if s else 1.0 for s in sizes]
+        # ratios (load-bearing for SV — reference server2.py:68-81); on
+        # partial metadata the round uses equal weights (see ingestion)
+        num_local_data = ingestion.resolve_data_sizes(sizes, selection, logger.info)
         stacked = tm.tree_stack(
             [d if d is not None else tm.tree_zeros_like(current_overlay) for d in deltas]
         )

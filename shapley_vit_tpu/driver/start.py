@@ -145,15 +145,16 @@ def get_initial_shapley_value(
         log_fn=logger.info,
     )
     deltas, selection, sizes = ingestion.ingest_clients(watch.paths, init_lora, spec)
-
-    # per-client standalone evaluation (start.py:157-161, logged not used);
     # num_local_data_train comes from checkpoint metadata and drives the
-    # FedAvg data-size ratios (reference server2.py:68-81) — weight 1 when
-    # the client shipped no metadata
+    # FedAvg data-size ratios (reference server2.py:68-81); partial metadata
+    # degrades the whole round to equal weights (see ingestion)
+    weights = ingestion.resolve_data_sizes(sizes, selection, logger.info)
+
+    # per-client standalone evaluation (start.py:157-161, logged not used)
     clients: List[EvalClient] = []
     local_metrics = []
     for cid, delta in enumerate(deltas):
-        n_local = int(sizes[cid]) if sizes[cid] else 1
+        n_local = int(weights[cid])
         if delta is None:
             clients.append(EvalClient(cid, num_local_data_train=n_local))
             continue

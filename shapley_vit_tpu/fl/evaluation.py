@@ -47,11 +47,18 @@ _EVAL_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = (
 def _cached_eval_step(forward_fn: Callable) -> Callable:
     step = _EVAL_STEP_CACHE.get(forward_fn)
     if step is None:
-        step = jax.jit(lambda p, x, y: eval_step_metrics(forward_fn(p, x), y))
+        # the step must not close over forward_fn strongly: the cache VALUE
+        # would then keep its own KEY alive and the WeakKeyDictionary could
+        # never evict (a permanent executable leak). Close over a weakref;
+        # the entry becomes unreachable the moment the key dies, so the ref
+        # is always live when the step actually runs.
         try:
-            _EVAL_STEP_CACHE[forward_fn] = step
+            fn_ref = weakref.ref(forward_fn)
         except TypeError:
-            pass  # non-weakref-able callable: fall back to per-call jit
+            # non-weakref-able callable: per-call jit (uncached)
+            return jax.jit(lambda p, x, y: eval_step_metrics(forward_fn(p, x), y))
+        step = jax.jit(lambda p, x, y: eval_step_metrics(fn_ref()(p, x), y))
+        _EVAL_STEP_CACHE[forward_fn] = step
     return step
 
 

@@ -162,6 +162,31 @@ def default_checkpoint_paths(
     ]
 
 
+def resolve_data_sizes(
+    sizes: Sequence[Optional[int]],
+    selection: Sequence[bool],
+    log_fn: Optional[Callable[[str], None]] = None,
+) -> List[float]:
+    """Turn per-client metadata sizes into FedAvg weights.
+
+    Sizes are used only when EVERY arrived client carries
+    ``num_local_data_train`` — mixing absolute sizes with a 1.0 placeholder
+    for legacy checkpoints would weight the legacy client at ~1/N_data and
+    silently erase it from aggregation and SV. On partial metadata the whole
+    round falls back to equal weights (the pre-metadata behavior), with a
+    log line so operators notice.
+    """
+    arrived = [s for s, sel in zip(sizes, selection) if sel]
+    if arrived and all(s is not None and s > 0 for s in arrived):
+        return [float(s) if s else 1.0 for s in sizes]
+    if any(s for s in arrived) and log_fn is not None:
+        log_fn(
+            "partial num_local_data_train metadata across clients: "
+            "falling back to equal FedAvg weights for this round"
+        )
+    return [1.0] * len(sizes)
+
+
 def wait_for_checkpoints(
     paths: Sequence[str],
     timeout: Optional[float] = None,

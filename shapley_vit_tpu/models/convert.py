@@ -248,10 +248,19 @@ def torch_inception3_to_flax(
             return sd[key]
         return None
 
+    def take_required(key: str) -> np.ndarray:
+        v = take(key)
+        if v is None:
+            raise ValueError(
+                f"truncated checkpoint: {key} missing while its sibling "
+                "tensors are present"
+            )
+        return v
+
     def put_basic(p_parent, s_parent, flax_name: str, torch_prefix: str) -> None:
         w = take(f"{torch_prefix}.conv.weight")
         if w is None:
-            return  # not in the checkpoint: keep init
+            return  # block not in the checkpoint at all: keep init
         dst_p = p_parent[flax_name]
         dst_s = s_parent[flax_name]
         expect = dst_p["Conv_0"]["kernel"].shape
@@ -261,10 +270,10 @@ def torch_inception3_to_flax(
                 f"{torch_prefix}: conv shape {got.shape} != flax {expect}"
             )
         dst_p["Conv_0"]["kernel"] = got.copy()
-        dst_p["BatchNorm_0"]["scale"] = take(f"{torch_prefix}.bn.weight").copy()
-        dst_p["BatchNorm_0"]["bias"] = take(f"{torch_prefix}.bn.bias").copy()
-        dst_s["BatchNorm_0"]["mean"] = take(f"{torch_prefix}.bn.running_mean").copy()
-        dst_s["BatchNorm_0"]["var"] = take(f"{torch_prefix}.bn.running_var").copy()
+        dst_p["BatchNorm_0"]["scale"] = take_required(f"{torch_prefix}.bn.weight").copy()
+        dst_p["BatchNorm_0"]["bias"] = take_required(f"{torch_prefix}.bn.bias").copy()
+        dst_s["BatchNorm_0"]["mean"] = take_required(f"{torch_prefix}.bn.running_mean").copy()
+        dst_s["BatchNorm_0"]["var"] = take_required(f"{torch_prefix}.bn.running_var").copy()
         take(f"{torch_prefix}.bn.num_batches_tracked")  # consume, unused
 
     for i, torch_name in enumerate(_INCEPTION_STEM):
@@ -283,7 +292,7 @@ def torch_inception3_to_flax(
                 f"{p_root['Dense_0']['kernel'].shape} (num_classes mismatch?)"
             )
         p_root["Dense_0"]["kernel"] = w.T.copy()
-        p_root["Dense_0"]["bias"] = take("classif.bias").copy()
+        p_root["Dense_0"]["bias"] = take_required("classif.bias").copy()
 
     leftovers = [k for k in sd if k not in consumed and not k.startswith("denoise.")]
     if leftovers:

@@ -145,6 +145,11 @@ def nice_plot(
         go = _plotly()
         if go is None and backend == "plotly":
             raise ImportError("backend='plotly' requested but plotly is not installed")
+        # 'auto' uses plotly only for interactive outputs (no file, or .html);
+        # raster save paths need kaleido, which plotly installs don't imply —
+        # matplotlib keeps serving .png et al. exactly as before
+        if backend == "auto" and save_path and not str(save_path).endswith(".html"):
+            go = None
         if go is not None:
             groups = [(None, df)] if group_by is None else list(df.groupby(group_by))
             aggs = [

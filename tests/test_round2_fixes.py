@@ -147,3 +147,39 @@ def test_pad_buckets_matches_unpadded():
             forward, coalition_chunk=4, pad_buckets=True
         )(shared, stacked, batches)
         np.testing.assert_allclose(padded, plain, rtol=1e-6)
+
+
+def test_eval_step_cache_evicts_dead_forward_fns():
+    """The cached jitted step must not keep its forward_fn key alive
+    (self-review finding: a strong closure made the WeakKeyDictionary
+    permanent)."""
+    import gc
+
+    before = len(ev._EVAL_STEP_CACHE)
+
+    def forward(params, x):
+        return x @ params
+
+    params = np.eye(4, dtype=np.float32)
+    batch = (np.ones((8, 4), np.float32), np.zeros(8, np.int64))
+    ev.evaluate_model(forward, params, [batch])
+    assert len(ev._EVAL_STEP_CACHE) == before + 1
+    del forward
+    gc.collect()
+    assert len(ev._EVAL_STEP_CACHE) == before
+
+
+def test_resolve_data_sizes_policies():
+    from shapley_vit_tpu.fl.ingestion import resolve_data_sizes
+
+    # full metadata -> absolute sizes
+    assert resolve_data_sizes([120, 300, 580], [True] * 3) == [120.0, 300.0, 580.0]
+    # partial metadata -> equal weights for the whole round (not 1.0 mixed
+    # with absolute sizes, which would near-zero the legacy client)
+    logs = []
+    assert resolve_data_sizes([5000, None, 5000], [True] * 3, logs.append) == [1.0] * 3
+    assert logs, "partial-metadata fallback must be logged"
+    # no metadata at all -> equal weights, no log
+    assert resolve_data_sizes([None, None], [True, True]) == [1.0, 1.0]
+    # absent clients don't block the sized path
+    assert resolve_data_sizes([100, None, 200], [True, False, True]) == [100.0, 1.0, 200.0]

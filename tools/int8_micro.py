@@ -18,13 +18,14 @@ FLOPS = 2 * M * K * N
 
 
 def bench(f, *args, reps=10):
-    out = np.asarray(f(*args))  # compile + force
+    np.asarray(f(*args))  # compile + force
     t0 = time.time()
     for _ in range(reps):
-        out = f(*args)
-    out = np.asarray(out) if not isinstance(out, tuple) else np.asarray(out[0])
-    dt = (time.time() - t0) / reps
-    return dt
+        # readback EVERY rep: on the axon remote backend an unforced dispatch
+        # never executes through the tunnel (CLAUDE.md) — forcing only the
+        # last rep would time ~one execution divided by reps
+        np.asarray(f(*args))
+    return (time.time() - t0) / reps
 
 
 def main():
