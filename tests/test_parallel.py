@@ -75,6 +75,26 @@ def test_sharded_evaluator_1x8_data_parallel(setup):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_sharded_evaluator_int8_quant_mode(setup):
+    """The int8 fast-eval path must compile and run under mesh sharding
+    (dot_general int8 with sharded operands) and stay close to the sharded
+    f32 result."""
+    s = setup
+    qspec = s["spec"].replace(quant="int8")
+    qfwd = lambda b, l, x: jvit.vit_forward(b, l, x, qspec)
+    mesh = pmesh.make_mesh(n_coalition=2)
+    got = make_sharded_coalition_evaluator(qfwd, mesh)(
+        s["base"], s["stacked_lora"], s["data"]
+    )
+    want = make_sharded_coalition_evaluator(s["fwd"], mesh)(
+        s["base"], s["stacked_lora"], s["data"]
+    )
+    assert np.isfinite(got).all()
+    # quantized utilities track f32 within quantization noise
+    np.testing.assert_allclose(got[:, 1], want[:, 1], atol=0.05)  # loss dim
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
 def test_multi_client_train_step_sharded(setup):
     s = setup
     spec = s["spec"]
