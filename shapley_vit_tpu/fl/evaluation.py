@@ -108,11 +108,23 @@ def evaluate_model(
     return acc, mean_loss
 
 
+def device_hbm_bytes(default: float = 16e9) -> float:
+    """The accelerator's memory limit, from the runtime when it reports one
+    (v5e: 16GB; CPU/interpret backends report nothing -> ``default``)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return default
+
+
 def suggest_coalition_chunk(
     seq_len: int,
     hidden: int,
     batch_size: int,
-    hbm_bytes: float = 16e9,
+    hbm_bytes: Optional[float] = None,
     activation_multiplier: float = 20.0,
     safety: float = 0.6,
     act_bytes: int = 2,
@@ -126,7 +138,11 @@ def suggest_coalition_chunk(
     v5e and 101 coalitions OOM). Always returns >= 1; the evaluator only
     splits when the coalition count exceeds the returned chunk, so a large
     return value means "no chunking needed". The multiplier is a single-point
-    fit — recalibrate if batch or image size changes materially."""
+    fit — recalibrate if batch or image size changes materially.
+    ``hbm_bytes=None`` reads the device's reported memory limit (falls back
+    to the 16GB v5e figure when the backend reports none)."""
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
     per_coalition = batch_size * seq_len * hidden * act_bytes * activation_multiplier
     chunk = int(safety * hbm_bytes / per_coalition)
     return max(1, chunk)

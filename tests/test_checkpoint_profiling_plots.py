@@ -161,3 +161,51 @@ def test_nice_plot_backend_gating():
     if not has_plotly:
         with _pytest.raises(ImportError):
             plots.nice_plot(df, "epoch", "acc", backend="plotly")
+
+
+def test_plotly_error_band_figure_with_stub(monkeypatch):
+    """Exercise the plotly figure-building logic with a stub go module (no
+    plotly in this image): per group one mean trace + one band trace, band
+    suppressed when std is all-NaN."""
+    import pandas as pd
+
+    from shapley_vit_tpu.utils import plots
+
+    class StubScatter:
+        def __init__(self, **kw):
+            self.kw = kw
+
+    class StubFigure:
+        def __init__(self):
+            self.traces = []
+            self.layout = {}
+
+        def add_trace(self, t):
+            self.traces.append(t)
+
+        def update_layout(self, **kw):
+            self.layout.update(kw)
+
+    class StubGo:
+        Scatter = StubScatter
+        Figure = StubFigure
+
+    # two seeds per (group, epoch) so the per-group std is defined
+    df = pd.DataFrame(
+        {
+            "epoch": [0, 0, 1, 1] * 2,
+            "acc": [0.1, 0.15, 0.3, 0.35, 0.2, 0.25, 0.4, 0.45],
+            "run": ["a"] * 4 + ["b"] * 4,
+        }
+    )
+    monkeypatch.setattr(plots, "_plotly", lambda: StubGo)
+    fig = plots.nice_plot(df, "epoch", "acc", group_by="run", backend="plotly")
+    # two groups x (mean + band) = 4 traces
+    assert len(fig.traces) == 4
+    assert fig.layout["xaxis_title"] == "epoch"
+    band = fig.traces[1].kw
+    assert band["fill"] == "toself" and band["showlegend"] is False
+
+    fig2 = plots.nice_plot(df, "epoch", "acc", group_by="run",
+                           error_band=False, backend="plotly")
+    assert len(fig2.traces) == 2  # bands suppressed
