@@ -1,10 +1,12 @@
-"""Benchmark-suite runner — the five BASELINE.json configs.
+"""Benchmark-suite runner — the five BASELINE.json configs + extensions.
 
   1  ViT-Tiny/16,  CIFAR-10,  3 clients, exact Shapley (8 coalitions)
   2  ViT-Small/16, CIFAR-100, 5 clients, exact Shapley, batched eval
   3  ViT-B/16,     ImageNet-subset shapes, 8 clients, permutation-MC Shapley
   4  ViT-B/16,     10 clients non-IID Dirichlet, truncated-MC (GTG)
   5  ViT-L/16,     16 clients, group-testing (Fed-SV) approximation
+  6  ViT-B/16,     3 clients, FULL-model (whole-tree) deltas, exact Shapley
+  7  ViT-B/16,     3 clients, fused multi-client LoRA training throughput
 
 Each config builds synthetic client deltas at the real model shapes, runs the
 estimator over ONE batched coalition-eval primitive, and prints a JSON line
@@ -39,6 +41,10 @@ CONFIGS = {
     # the largest batch that fits to amortize weight traffic.
     6: dict(variant="base", image=224, classes=4, clients=3, estimator="exact",
             full_delta=True, batch=512),
+    # the training path: all clients' local LoRA steps fused in one vmapped
+    # program (fl/training.make_multi_client_train_step) — fwd+bwd+update
+    7: dict(variant="base", image=224, classes=4, clients=3, estimator="train",
+            batch=64),
 }
 
 
@@ -75,6 +81,9 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     )
     base = jvit.init_vit(jax.random.key(seed), spec)
     lora0 = jvit.init_lora(jax.random.key(seed + 1), spec, classifier_from=base)
+
+    if cfg["estimator"] == "train":
+        return _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed)
     # full_delta: deltas over the WHOLE base tree (the reference's complete
     # state-dict aggregation, utils.py:735-749) instead of the LoRA overlay
     delta_root = base if cfg.get("full_delta") else lora0
@@ -202,6 +211,62 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         "coalition_evals_per_s": round(game.num_evaluations / wall, 3) if wall > 0 else None,
         "sv_dims": len(sv),
     }
+
+
+def _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed) -> dict:
+    """Multi-client fused LoRA training throughput (fwd+bwd+update)."""
+    import jax
+    import optax
+
+    from shapley_vit_tpu.fl import training as tr
+    from shapley_vit_tpu.ops import tree_math as tm
+
+    # per-block remat is what makes this config FIT: without it the 3-client
+    # backward pass wants 33.4G of activations on a 15.75G chip (measured);
+    # checkpointing each scanned block trades recompute for memory
+    rspec = spec.replace(remat=True)
+    stacked = tm.tree_stack([lora0] * n)
+    opt = optax.sgd(1e-2, momentum=0.9)
+    opt_state = jax.vmap(opt.init)(stacked)
+    step = tr.make_multi_client_train_step(
+        jvit_forward_for(rspec), opt, spec.num_classes
+    )
+
+    rng = np.random.default_rng(seed)
+    images = jax.device_put(
+        rng.normal(size=(n, batch, spec.image, spec.image, 3)).astype(np.float32)
+    )
+    labels = jax.device_put(rng.integers(0, spec.num_classes, size=(n, batch)))
+    keys = jax.device_put(
+        __import__("jax").random.split(__import__("jax").random.key(seed), n)
+    )
+
+    def one_step(lora, opt_state):
+        lora, opt_state, losses = step(base, lora, opt_state, images, labels, keys)
+        return lora, opt_state, np.asarray(losses)  # readback forces execution
+
+    lora, opt_state, losses = one_step(stacked, opt_state)  # compile + warm
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        lora, opt_state, losses = one_step(lora, opt_state)
+    dt = (time.time() - t0) / reps
+    assert np.isfinite(losses).all()
+    return {
+        "config": idx,
+        "model": f"ViT-{cfg['variant']}/{spec.patch}",
+        "clients": n,
+        "estimator": "multi_client_train_step",
+        "per_client_batch": batch,
+        "wall_clock_s": round(dt, 4),
+        "train_images_per_s": round(n * batch / dt, 1),
+    }
+
+
+def jvit_forward_for(spec):
+    from shapley_vit_tpu.models import vit as jvit
+
+    return lambda b, l, x: jvit.vit_forward(b, l, x, spec)
 
 
 def main():
