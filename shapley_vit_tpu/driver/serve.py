@@ -121,6 +121,17 @@ def serve(
             utility_dim=cfg.shapley.utility_dim,
             n_all=n,
         )
+        # mid-round crash recovery: the utility memo persists after every
+        # precompute batch, and a restarted service picks up a killed
+        # round's finished coalitions instead of re-evaluating them
+        # (beyond-reference — the reference memo is RAM-only, game2.py:32-34)
+        from shapley_vit_tpu.fl import checkpoint as ckpt
+
+        table_path = os.path.join(out_dir, f"utility_table_epoch_{epoch}.npz")
+        if os.path.exists(table_path):
+            restored = ckpt.resume_game(game, table_path)
+            logger.info(f"resumed {restored} coalition utilities for epoch {epoch}")
+        ckpt.checkpointed_game(game, table_path)
         timer = StepTimer()
         with timer.span("shapley_round"):
             sv = call_shapley_computation_method(

@@ -95,6 +95,34 @@ def test_sharded_evaluator_int8_quant_mode(setup):
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
 
 
+def test_sharded_full_delta_coalition_eval(setup):
+    """Whole-tree (non-LoRA) coalition stacking shards over the mesh the
+    same way the overlay path does — the full-delta configuration's
+    multi-chip story (reference aggregates entire state dicts,
+    utils.py:735-749)."""
+    s = setup
+    spec = s["spec"]
+    base = s["base"]
+    leaves, treedef = jax.tree.flatten(base)
+    deltas = [
+        treedef.unflatten(
+            [0.02 * jax.random.normal(k, l.shape)
+             for k, l in zip(jax.random.split(jax.random.key(50 + i), len(leaves)), leaves)]
+        )
+        for i in range(4)
+    ]
+    stacked = tm.tree_stack(deltas)
+    coalitions = [[0], [1], [2], [3], [0, 1], [2, 3], [0, 1, 2, 3], [1, 2]]
+    W = tm.coalition_weight_matrix(coalitions, [10, 20, 30, 40], 4)
+    full_trees = tm.materialize_coalitions(base, stacked, W)
+
+    fwd = lambda _shared, v, x: jvit.vit_forward(v, None, x, spec)
+    mesh = pmesh.make_mesh(n_coalition=2)
+    got = make_sharded_coalition_evaluator(fwd, mesh)({}, full_trees, s["data"])
+    want = ev.make_coalition_evaluator(fwd)({}, full_trees, s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_multi_client_train_step_sharded(setup):
     s = setup
     spec = s["spec"]

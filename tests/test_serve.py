@@ -91,3 +91,33 @@ def test_serve_stops_on_timeout(cfg):
     # epoch 1 never arrives; fail policy ends the service after round 0
     records = serve(cfg, max_rounds=5, timeout=0.5, policy="fail")
     assert len(records) == 1
+
+
+def test_serve_resumes_mid_round_from_utility_table(cfg):
+    """A killed round's persisted utility table must be picked up on restart:
+    with a complete pre-staged table, the round makes ZERO fresh coalition
+    evaluations (beyond-reference: the reference memo is RAM-only)."""
+    import importlib
+    from itertools import combinations
+
+    from shapley_vit_tpu.fl import checkpoint as ckpt
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+
+    table = {
+        frozenset(c): [0.01 * len(c), -0.01 * len(c)]
+        for r in range(1, 4)
+        for c in combinations(range(3), r)
+    }
+    out = cfg.ensure_output_dir()
+    ckpt.save_utility_table(os.path.join(out, "utility_table_epoch_0.npz"), table)
+
+    records = serve(cfg, max_rounds=1, timeout=10.0, policy="fail")
+    assert len(records) == 1
+    assert records[0]["evals"] == 0  # every coalition came from the table
+    # and the SVs reflect the staged utilities (all-equal additive table ->
+    # symmetric per-client scores in each dim)
+    sv_acc = records[0]["shapley"][0]
+    assert len(set(round(v, 9) for v in sv_acc.values())) == 1
