@@ -63,6 +63,10 @@ def build_model(cfg: Config, key=None):
         lora_alpha=cfg.model.lora_alpha,
         dtype=cfg.model.compute_dtype,
         gelu=cfg.model.gelu,
+        quant=cfg.model.quant,
+        # the measured-best int8 target set (tools/quant_ablation.py: fc2/
+        # out/patch quantization costs more than its int8 gain)
+        quant_targets=("q", "k", "v", "fc1"),
     )
     k1, k2 = jax.random.split(key)
     base = jvit.init_vit(k1, spec)

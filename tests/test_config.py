@@ -84,3 +84,18 @@ def test_log_lines_flat_dump():
     lines = Config().log_lines()
     assert any(l.startswith("model.lora_r,16") for l in lines)
     assert lines == sorted(lines)
+
+
+def test_model_quant_config_reaches_spec():
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.start import build_model
+
+    cfg = Config()
+    cfg.model.vit_variant = "micro"
+    cfg.model.quant = "int8"
+    spec, base, lora = build_model(cfg)
+    assert spec.quant == "int8"
+    assert spec.quant_targets == ("q", "k", "v", "fc1")
+    cfg.model.quant = "none"
+    spec2, _, _ = build_model(cfg)
+    assert spec2.quant == "none"
