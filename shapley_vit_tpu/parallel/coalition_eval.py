@@ -76,6 +76,14 @@ def make_sharded_coalition_evaluator(
             loss = loss + l
             seen += labels.shape[0]
         n = dataset_size if dataset_size is not None else seen
+        if jax.process_count() > 1:
+            # the coalition-sharded accumulators span non-addressable devices
+            # in multi-process runs; allgather assembles the global [C] rows
+            # on every host (rides the same collective fabric as the psum)
+            from jax.experimental import multihost_utils
+
+            correct = multihost_utils.process_allgather(correct, tiled=True)
+            loss = multihost_utils.process_allgather(loss, tiled=True)
         acc = np.asarray(jax.device_get(correct)) / n
         mean_loss = np.asarray(jax.device_get(loss)) / n
         if np.isnan(mean_loss).any():
