@@ -72,6 +72,35 @@ got = evaluator(base, stacked_lora, [(images, labels)])
 want = ev.make_coalition_evaluator(fwd)(base, stacked_lora, [(images, labels)])
 np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 print(f"proc {{pid}}: multi-process sharded eval OK", flush=True)
+
+# ---- sharded multi-client TRAINING step across processes ----
+# Each process contributes ITS client's shard (host-local -> global): the
+# cross-silo deployment shape, one client per host.
+import optax
+from shapley_vit_tpu.fl import training as tr
+from shapley_vit_tpu.parallel import mesh as pmesh
+
+n_clients, B = 2, 4
+opt = optax.sgd(1e-2)
+opt_state = jax.vmap(opt.init)(stacked)
+mstep = tr.make_multi_client_train_step(fwd, opt, spec.num_classes)
+
+def h2g(full, pspec, client_axis=True):
+    local = np.asarray(full)[pid : pid + 1] if client_axis else np.asarray(full)
+    return multihost_utils.host_local_array_to_global_array(local, mesh, pspec)
+
+cP = P(pmesh.COALITION_AXIS)
+tx = h2g(rng.normal(size=(n_clients, B, 16, 16, 3)).astype(np.float32), cP)
+ty = h2g(rng.integers(0, 4, size=(n_clients, B)), cP)
+key_data = np.asarray(jax.random.key_data(jax.random.split(jax.random.key(7), n_clients)))
+keys = jax.random.wrap_key_data(h2g(key_data, cP))
+lora_d = jax.tree.map(lambda a: h2g(a, cP), stacked)
+opt_d = jax.tree.map(lambda a: h2g(a, cP), opt_state)
+base_d = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), base)
+new_lora, new_opt, losses = mstep(base_d, lora_d, opt_d, tx, ty, keys)
+gl = multihost_utils.process_allgather(losses, tiled=True)
+assert gl.shape == (n_clients,) and np.isfinite(np.asarray(gl)).all()
+print(f"proc {{pid}}: multi-process sharded train step OK", flush=True)
 '''
 
 
@@ -104,3 +133,4 @@ def test_two_process_distributed_coalition_eval(tmp_path):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     for i, out in enumerate(outs):
         assert "multi-process sharded eval OK" in out, out[-1500:]
+        assert "multi-process sharded train step OK" in out, out[-1500:]
