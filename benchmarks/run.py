@@ -237,9 +237,7 @@ def _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed) -> dict:
         rng.normal(size=(n, batch, spec.image, spec.image, 3)).astype(np.float32)
     )
     labels = jax.device_put(rng.integers(0, spec.num_classes, size=(n, batch)))
-    keys = jax.device_put(
-        __import__("jax").random.split(__import__("jax").random.key(seed), n)
-    )
+    keys = jax.device_put(jax.random.split(jax.random.key(seed), n))
 
     def one_step(lora, opt_state):
         lora, opt_state, losses = step(base, lora, opt_state, images, labels, keys)

@@ -124,14 +124,30 @@ def serve(
         # mid-round crash recovery: the utility memo persists after every
         # precompute batch, and a restarted service picks up a killed
         # round's finished coalitions instead of re-evaluating them
-        # (beyond-reference — the reference memo is RAM-only, game2.py:32-34)
-        from shapley_vit_tpu.fl import checkpoint as ckpt
+        # (beyond-reference — the reference memo is RAM-only, game2.py:32-34).
+        # The table is stamped with a fingerprint of this round's inputs so
+        # a stale table (re-uploaded checkpoints, changed FedAvg weights or
+        # baseline) is ignored rather than silently mixed with fresh evals.
+        if cfg.shapley.persist_utility_table:
+            from shapley_vit_tpu.fl import checkpoint as ckpt
 
-        table_path = os.path.join(out_dir, f"utility_table_epoch_{epoch}.npz")
-        if os.path.exists(table_path):
-            restored = ckpt.resume_game(game, table_path)
-            logger.info(f"resumed {restored} coalition utilities for epoch {epoch}")
-        ckpt.checkpointed_game(game, table_path)
+            fp = ckpt.fingerprint_inputs(
+                stacked,
+                extra=(num_local_data, selection, [f"{u:.12g}" for u in prev_utility]),
+            )
+            table_path = os.path.join(out_dir, f"utility_table_epoch_{epoch}.npz")
+            if os.path.exists(table_path):
+                restored = ckpt.resume_game(game, table_path, fingerprint=fp)
+                if restored:
+                    logger.info(
+                        f"resumed {restored} coalition utilities for epoch {epoch}"
+                    )
+                else:
+                    logger.info(
+                        f"ignoring stale utility table for epoch {epoch} "
+                        "(round inputs changed since it was written)"
+                    )
+            ckpt.checkpointed_game(game, table_path, fingerprint=fp)
         timer = StepTimer()
         with timer.span("shapley_round"):
             sv = call_shapley_computation_method(

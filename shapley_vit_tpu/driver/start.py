@@ -56,6 +56,10 @@ def build_model(cfg: Config, key=None):
     variant = cfg.model.vit_variant
     if cfg.model.model_type.lower().startswith("vit-"):
         variant = cfg.model.model_type.split("-", 1)[1].lower()
+    if cfg.model.quant not in ("none", "int8"):
+        raise ValueError(
+            f"model.quant must be 'none' or 'int8', got {cfg.model.quant!r}"
+        )
     spec = jvit.make_spec(
         variant,
         num_classes=cfg.model.num_classes,
@@ -203,6 +207,27 @@ def get_initial_shapley_value(
         utility_dim=utility_dim,
         n_all=n,
     )
+    # resumable utility table (SURVEY.md §5 checkpoint/resume): persist the
+    # memo after every batched evaluation and reseed a restarted round from
+    # it — ONLY when the table's input fingerprint matches this round's
+    # deltas/weights/baseline (a stale table would corrupt the SVs)
+    if cfg.shapley.persist_utility_table:
+        from shapley_vit_tpu.fl import checkpoint as ckpt
+
+        fp = ckpt.fingerprint_inputs(
+            stacked,
+            extra=(
+                [c.num_local_data_train for c in clients],
+                selection,
+                [f"{u:.12g}" for u in previous_utility],
+            ),
+        )
+        table_path = os.path.join(cfg.ensure_output_dir(), "utility_table.npz")
+        if os.path.exists(table_path):
+            restored = ckpt.resume_game(game, table_path, fingerprint=fp)
+            if restored:
+                logger.info(f"resumed {restored} coalition utilities from {table_path}")
+        ckpt.checkpointed_game(game, table_path, fingerprint=fp)
     server = EvalServer(base, clients, valid_batches=data, valid_size=len(valid))  # noqa: F841 (parity object)
 
     from shapley_vit_tpu.utils.profiling import StepTimer, trace
@@ -239,16 +264,6 @@ def get_initial_shapley_value(
                 global_overlay,
                 spec,
             )
-
-    # persist the utility table for resume (SURVEY.md §5 checkpoint/resume)
-    if cfg.shapley.persist_utility_table:
-        out = cfg.ensure_output_dir()
-        table = {
-            ",".join(map(str, sorted(k))): np.asarray(v)
-            for k, v in game.utility.items()
-        }
-        if table:
-            ingestion.atomic_save_npz(os.path.join(out, "utility_table.npz"), table)
 
     for i in range(utility_dim):
         shapley_value_all_rounds[i].append(shapley_value[i])

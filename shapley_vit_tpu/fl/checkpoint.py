@@ -53,6 +53,9 @@ def load_pytree(path: str, like: Optional[PyTree] = None) -> PyTree:
 # resumable utility table
 # ---------------------------------------------------------------------------
 
+_FINGERPRINT_KEY = "__fingerprint__"
+
+
 def _key_to_str(key: FrozenSet[int]) -> str:
     return ",".join(map(str, sorted(key)))
 
@@ -61,38 +64,87 @@ def _str_to_key(s: str) -> FrozenSet[int]:
     return frozenset(int(t) for t in s.split(",") if t != "")
 
 
-def save_utility_table(path: str, utility: Dict[FrozenSet[int], List[float]]) -> None:
-    """Persist a Game's memo table with the atomic-rename protocol."""
+def fingerprint_inputs(*trees, extra=None) -> str:
+    """Deterministic digest of a round's inputs (client deltas, weights,
+    previous-utility baseline, ...). A persisted utility table is only valid
+    for the exact inputs it was computed from — resuming against changed
+    deltas or FedAvg weights would silently mix stale and fresh utilities."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.blake2b(digest_size=16)
+    for t in trees:
+        for leaf in jax.tree.leaves(t):
+            a = np.asarray(leaf)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            b = a.tobytes()
+            if len(b) > 8192:
+                # big leaves (full-model deltas): head + tail + exact f64 sum
+                h.update(b[:4096])
+                h.update(b[-4096:])
+                h.update(np.sum(a, dtype=np.float64).tobytes())
+            else:
+                h.update(b)
+    if extra is not None:
+        h.update(repr(extra).encode())
+    return h.hexdigest()
+
+
+def save_utility_table(
+    path: str,
+    utility: Dict[FrozenSet[int], List[float]],
+    fingerprint: Optional[str] = None,
+) -> None:
+    """Persist a Game's memo table with the atomic-rename protocol,
+    optionally stamped with the round-input fingerprint."""
     from shapley_vit_tpu.fl.ingestion import atomic_save_npz
 
     if not utility:
         return
-    atomic_save_npz(path, {_key_to_str(k): np.asarray(v) for k, v in utility.items()})
+    arrays = {_key_to_str(k): np.asarray(v) for k, v in utility.items()}
+    if fingerprint is not None:
+        arrays[_FINGERPRINT_KEY] = np.asarray(fingerprint)
+    atomic_save_npz(path, arrays)
 
 
-def load_utility_table(path: str) -> Dict[FrozenSet[int], List[float]]:
-    """Load a persisted table (empty dict if the file doesn't exist)."""
+def load_utility_table(path: str):
+    """Load a persisted table -> (dict, stored_fingerprint_or_None);
+    (empty dict, None) if the file doesn't exist."""
     if not os.path.exists(path):
-        return {}
+        return {}, None
     out: Dict[FrozenSet[int], List[float]] = {}
+    fp = None
     with np.load(path) as z:
         for name in z.files:
+            if name == _FINGERPRINT_KEY:
+                fp = str(z[name])
+                continue
             out[_str_to_key(name)] = [float(v) for v in z[name]]
-    return out
+    return out, fp
 
 
-def resume_game(game, path: str) -> int:
+def resume_game(game, path: str, fingerprint: Optional[str] = None) -> int:
     """Seed a Game's memo from a persisted table; returns #coalitions
     restored. Restored utilities are already previous-utility deltas, so
-    they're injected directly into the memo (no re-evaluation)."""
-    table = load_utility_table(path)
+    they're injected directly into the memo (no re-evaluation).
+
+    With ``fingerprint``, a table STAMPED with a different round-input digest
+    is rejected (returns 0): it was computed from different deltas/weights/
+    baseline and silently mixing it with fresh evaluations would corrupt the
+    round's Shapley values. Unstamped tables (hand-staged, or written by
+    older code) are accepted as-is."""
+    table, stored = load_utility_table(path)
+    if fingerprint is not None and stored is not None and stored != fingerprint:
+        return 0
     for key, vals in table.items():
         if key not in game.utility:
             game.utility[key] = list(vals)
     return len(table)
 
 
-def checkpointed_game(game, path: str, every: int = 1):
+def checkpointed_game(game, path: str, every: int = 1, fingerprint: Optional[str] = None):
     """Wrap a Game so its memo persists after each ``precompute`` batch —
     mid-round crash recovery for long Monte-Carlo estimations."""
     orig_precompute = game.precompute
@@ -102,7 +154,7 @@ def checkpointed_game(game, path: str, every: int = 1):
         orig_precompute(coalitions)
         counter["n"] += 1
         if counter["n"] % every == 0:
-            save_utility_table(path, game.utility)
+            save_utility_table(path, game.utility, fingerprint=fingerprint)
 
     game.precompute = precompute
     return game

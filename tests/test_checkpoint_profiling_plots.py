@@ -30,11 +30,12 @@ def test_utility_table_roundtrip(tmp_path):
     table = {frozenset({0, 2}): [0.1, -0.5], frozenset({1}): [0.0, 1.0]}
     path = str(tmp_path / "util.npz")
     ckpt.save_utility_table(path, table)
-    back = ckpt.load_utility_table(path)
+    back, fp = ckpt.load_utility_table(path)
+    assert fp is None
     assert back.keys() == table.keys()
     np.testing.assert_allclose(back[frozenset({0, 2})], [0.1, -0.5])
     # missing file -> empty
-    assert ckpt.load_utility_table(str(tmp_path / "nope.npz")) == {}
+    assert ckpt.load_utility_table(str(tmp_path / "nope.npz")) == ({}, None)
 
 
 def test_resume_game_skips_reevaluation(tmp_path):
@@ -209,3 +210,43 @@ def test_plotly_error_band_figure_with_stub(monkeypatch):
     fig2 = plots.nice_plot(df, "epoch", "acc", group_by="run",
                            error_band=False, backend="plotly")
     assert len(fig2.traces) == 2  # bands suppressed
+
+
+def test_resume_game_rejects_stale_fingerprint(tmp_path):
+    """A table stamped for different round inputs must be ignored — mixing
+    stale and fresh utilities would corrupt the round's Shapley values."""
+    values = np.array([[1.0, 0.0], [2.0, 0.5], [3.0, -1.0]])
+    game1 = TabularGame(additive_table(values), n_all=3)
+    path = str(tmp_path / "util.npz")
+    ckpt.checkpointed_game(game1, path, fingerprint="inputs-v1")
+    shapley_exact(game1)
+
+    # same fingerprint -> resumes
+    game2 = TabularGame(additive_table(values), n_all=3)
+    assert ckpt.resume_game(game2, path, fingerprint="inputs-v1") == 7
+    # different fingerprint -> rejected, no memo seeding
+    game3 = TabularGame(additive_table(values), n_all=3)
+    assert ckpt.resume_game(game3, path, fingerprint="inputs-v2") == 0
+    assert game3.utility == {}
+    # caller without a fingerprint accepts any table (legacy/hand-staged)
+    game4 = TabularGame(additive_table(values), n_all=3)
+    assert ckpt.resume_game(game4, path) == 7
+
+
+def test_fingerprint_inputs_sensitivity():
+    import jax
+
+    t1 = {"a": np.ones((4, 4), np.float32)}
+    t2 = {"a": np.ones((4, 4), np.float32)}
+    assert ckpt.fingerprint_inputs(t1) == ckpt.fingerprint_inputs(t2)
+    t2["a"] = t2["a"].copy()
+    t2["a"][0, 0] = 2.0
+    assert ckpt.fingerprint_inputs(t1) != ckpt.fingerprint_inputs(t2)
+    assert ckpt.fingerprint_inputs(t1, extra=(1,)) != ckpt.fingerprint_inputs(
+        t1, extra=(2,)
+    )
+    # big leaves: head/tail/sum sampling still catches interior edits
+    big = {"w": np.zeros((600, 600), np.float32)}
+    fp0 = ckpt.fingerprint_inputs(big)
+    big["w"][300, 300] = 1e-3
+    assert ckpt.fingerprint_inputs(big) != fp0

@@ -167,9 +167,11 @@ def test_start_end_to_end(tmp_path, micro_spec, monkeypatch):
     assert os.path.exists(os.path.join(out, "utility_table.npz"))
     csvs = [f for f in os.listdir(out) if f.endswith("_log.csv")]
     assert csvs, os.listdir(out)
-    # utility table has at most 7 coalitions for n=3
+    # utility table has at most 7 coalitions for n=3 (+ input fingerprint)
     with np.load(os.path.join(out, "utility_table.npz")) as z:
-        assert 1 <= len(z.files) <= 7
+        coal_keys = [k for k in z.files if not k.startswith("__")]
+        assert 1 <= len(coal_keys) <= 7
+        assert "__fingerprint__" in z.files
     # global-model export honoured the GLOBAL_MODEL_PATH contract
     assert os.path.exists(os.path.join(str(tmp_path / "global"), "ViT_global.npz"))
 

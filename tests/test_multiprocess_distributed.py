@@ -105,10 +105,15 @@ print(f"proc {{pid}}: multi-process sharded train step OK", flush=True)
 
 
 @pytest.mark.slow
-def test_two_process_distributed_coalition_eval(tmp_path):
+def test_two_process_distributed_coalition_eval():
+    import socket
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     child = _CHILD.format(repo=repo)
-    port = "37741"
+    # probe a free port so reruns / parallel suites can't collide
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = str(sock.getsockname()[1])
     env = {
         k: v
         for k, v in os.environ.items()
