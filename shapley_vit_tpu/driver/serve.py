@@ -96,9 +96,15 @@ def serve(
             logger.info("no checkpoints arrived; stopping")
             break
 
+        # corrupt/foreign files must not kill the service: treat them as
+        # not-arrived this round (the straggler machinery already handles
+        # partial participation)
         deltas, selection, sizes = ingestion.ingest_clients(
-            watch.paths, current_overlay, spec
+            watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
         )
+        if not any(selection):
+            logger.info("no readable checkpoints this round; stopping")
+            break
         # per-client data sizes from checkpoint metadata drive the FedAvg
         # ratios (load-bearing for SV — reference server2.py:68-81); on
         # partial metadata the round uses equal weights (see ingestion)

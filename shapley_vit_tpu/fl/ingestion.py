@@ -251,13 +251,23 @@ def ingest_clients(
     paths: Sequence[Optional[str]],
     init_lora: PyTree,
     spec: ViTSpec,
+    on_error: str = "raise",
+    log_fn: Optional[Callable[[str], None]] = None,
 ) -> Tuple[List[Optional[PyTree]], List[bool], List[Optional[int]]]:
     """Load every arrived client checkpoint and return
     (deltas, selection, sizes): the reference's load → evaluate → delta loop
     (start.py:144-164) without the shared-model aliasing bug
     (start.py:285-288). ``sizes[i]`` is the client's ``num_local_data_train``
     from checkpoint metadata (None if absent or the client never arrived) —
-    callers use it as the FedAvg data-size weight (server2.py:68-81)."""
+    callers use it as the FedAvg data-size weight (server2.py:68-81).
+
+    ``on_error``: 'raise' propagates unreadable/malformed checkpoints (the
+    one-shot driver's behavior); 'skip' treats the client as not-arrived
+    for this round and logs it — the long-running service must survive a
+    corrupt file (disk fault, foreign writer bypassing the atomic-rename
+    protocol) without dying mid-service."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error policy {on_error!r}")
     deltas: List[Optional[PyTree]] = []
     selection: List[bool] = []
     sizes: List[Optional[int]] = []
@@ -267,8 +277,18 @@ def ingest_clients(
             selection.append(False)
             sizes.append(None)
             continue
-        sd, meta = _load_raw(p)
-        lora = convert.peft_lora_to_tree(sd, spec)
+        try:
+            sd, meta = _load_raw(p)
+            lora = convert.peft_lora_to_tree(sd, spec)
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            if log_fn is not None:
+                log_fn(f"skipping unreadable client checkpoint {p}: {e}")
+            deltas.append(None)
+            selection.append(False)
+            sizes.append(None)
+            continue
         deltas.append(client_delta(lora, init_lora))
         selection.append(True)
         n = meta.get("num_local_data_train")

@@ -212,3 +212,30 @@ def test_start_threads_metadata_sizes_into_game(tmp_path, monkeypatch):
     monkeypatch.setattr(start_mod, "Game", spy_game)
     start_mod.start(cfg, checkpoint_paths=paths)
     assert seen["num_local_data"] == want
+
+
+def test_ingest_clients_error_policies(tmp_path, micro_spec):
+    """A corrupt checkpoint raises under 'raise' (one-shot driver) and is
+    treated as not-arrived under 'skip' (long-running service)."""
+    init = jvit.init_lora(jax.random.key(0), micro_spec)
+    good = str(tmp_path / "client_1_model" / "ViT_epoch_0.npz")
+    ingestion.save_lora_checkpoint(good, make_lora(micro_spec, 1), micro_spec,
+                                   num_local_data_train=50)
+    bad = str(tmp_path / "client_2_model" / "ViT_epoch_0.npz")
+    os.makedirs(os.path.dirname(bad))
+    with open(bad, "wb") as f:
+        f.write(b"not an npz at all")
+
+    with pytest.raises(Exception):
+        ingestion.ingest_clients([good, bad], init, micro_spec)
+
+    logs = []
+    deltas, sel, sizes = ingestion.ingest_clients(
+        [good, bad], init, micro_spec, on_error="skip", log_fn=logs.append
+    )
+    assert sel == [True, False]
+    assert deltas[1] is None and sizes == [50, None]
+    assert logs and "client_2_model" in logs[0]
+
+    with pytest.raises(ValueError):
+        ingestion.ingest_clients([good], init, micro_spec, on_error="bogus")
