@@ -99,3 +99,27 @@ def test_model_quant_config_reaches_spec():
     cfg.model.quant = "none"
     spec2, _, _ = build_model(cfg)
     assert spec2.quant == "none"
+
+
+def test_mainshapley_cli_shim(tmp_path):
+    """The CLI entry parses the reference flag surface end-to-end: --help
+    exits 0 and shows the reference spellings; an unknown flag exits 2
+    (reference mainShapley.py:1-3 -> opts.py argparse)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
+    out = subprocess.run(
+        [sys.executable, "mainShapley.py", "--help"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    for flag in ("--model-type", "--dataset-type", "--dist-num", "--noise-multiplier"):
+        assert flag in out.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "mainShapley.py", "--no-such-flag"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120,
+    )
+    assert bad.returncode == 2
