@@ -39,8 +39,11 @@ CONFIGS = {
     # chunked to bound HBM residency. Full-delta eval is WEIGHT-bandwidth
     # bound (each batch re-reads every coalition's 86M params), so it runs
     # the largest batch that fits to amortize weight traffic.
+    # the production fast-eval int8 mode applies here too
+    # (tools/full_delta_profile.py: 3.89 -> 4.48 evals/s; materialization
+    # itself is <40ms/round, not the cost)
     6: dict(variant="base", image=224, classes=4, clients=3, estimator="exact",
-            full_delta=True, batch=512),
+            full_delta=True, batch=512, quant=True),
     # the training path: all clients' local LoRA steps fused in one vmapped
     # program (fl/training.make_multi_client_train_step) — fwd+bwd+update
     7: dict(variant="base", image=224, classes=4, clients=3, estimator="train",
@@ -142,8 +145,16 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
                 tm.materialize_coalitions(b, s, W),
             )
         )
+        # forward mode only — materialization/aggregation math stays f32
+        # 'highest' (the SV parity bar); int8 carries the same trained-model
+        # argmax-agreement contract as bench.py (tools/quant_agreement.py)
+        eval_spec = (
+            spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
+            if cfg.get("quant")
+            else spec
+        )
         evaluator = ev.make_coalition_evaluator(
-            lambda _s, v, x: jvit.vit_forward(v, None, x, spec),
+            lambda _s, v, x: jvit.vit_forward(v, None, x, eval_spec),
             coalition_chunk=chunk,
         )
 

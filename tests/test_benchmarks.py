@@ -28,3 +28,36 @@ def test_config4_gtg_dirichlet_sizes():
         assert res["distinct_coalition_evals"] >= 2
     finally:
         br.CONFIGS[4] = orig
+
+
+def test_config6_full_delta_int8_micro():
+    """Config 6 (whole-tree deltas + int8 fast-eval forward) end-to-end on
+    the CPU mesh with a micro model: the quantized full-delta path must
+    produce finite utilities for all 2^n-1 coalitions."""
+    from benchmarks import run as br
+
+    orig = dict(br.CONFIGS[6])
+    br.CONFIGS[6].update(dict(variant="micro", image=16, classes=4, clients=2))
+    try:
+        res = br.run_config(6, val_size=16, batch=8)
+        assert res["estimator"] == "exact"
+        assert res["distinct_coalition_evals"] == 3  # 2^2 - 1
+        assert res["coalition_evals_per_s"] > 0
+    finally:
+        br.CONFIGS[6] = orig
+
+
+def test_config7_train_step_micro():
+    """Config 7 (fused multi-client LoRA training throughput) on the CPU
+    mesh with a micro model: remat + vmapped fwd+bwd+update must run and
+    report finite losses/throughput."""
+    from benchmarks import run as br
+
+    orig = dict(br.CONFIGS[7])
+    br.CONFIGS[7].update(dict(variant="micro", image=16, classes=4, clients=2, batch=4))
+    try:
+        res = br.run_config(7, val_size=8, batch=4)
+        assert res["estimator"] == "multi_client_train_step"
+        assert res["train_images_per_s"] > 0
+    finally:
+        br.CONFIGS[7] = orig

@@ -102,19 +102,30 @@ def main():
         ).sum()
     )
 
-    spec8 = spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
-    evaluator8 = ev.make_coalition_evaluator(
-        lambda _s, v, x: jvit.vit_forward(v, None, x, spec8)
-    )
-    t_e2e8 = timeit(
-        lambda: np.asarray(
-            evaluator8({}, mat_cast(base, stacked, W), data, dataset_size=VAL)
-        ).sum()
-    )
+    # free the pre-materialized copy before the int8 sweep: 1.2GB of bf16
+    # trees alive alongside each variant's fresh materialization + activations
+    # tips the 16GB chip over
+    del trees
 
-    for name, t in [("mat(f32->bf16)", t_mat), ("mat(bf16 direct)", t_mat_bf16),
-                    ("eval(pre-mat)", t_eval), ("e2e", t_e2e), ("e2e int8 qkv+fc1", t_e2e8)]:
-        print(f"{name:20s} {t*1e3:8.1f} ms/round   {C/t:6.2f} evals/s")
+    rows = [("mat(f32->bf16)", t_mat), ("mat(bf16 direct)", t_mat_bf16),
+            ("eval(pre-mat)", t_eval), ("e2e", t_e2e)]
+    for label, targets in [
+        ("int8 qkv+fc1", ("q", "k", "v", "fc1")),
+        ("int8 qkv+fc1+fc2", ("q", "k", "v", "fc1", "fc2")),
+        ("int8 all", ("patch", "q", "k", "v", "out", "fc1", "fc2")),
+    ]:
+        spec8 = spec.replace(quant="int8", quant_targets=targets)
+        evaluator8 = ev.make_coalition_evaluator(
+            lambda _s, v, x, _sp=spec8: jvit.vit_forward(v, None, x, _sp)
+        )
+        rows.append((f"e2e {label}", timeit(
+            lambda: np.asarray(
+                evaluator8({}, mat_cast(base, stacked, W), data, dataset_size=VAL)
+            ).sum()
+        )))
+
+    for name, t in rows:
+        print(f"{name:22s} {t*1e3:8.1f} ms/round   {C/t:6.2f} evals/s")
 
 
 if __name__ == "__main__":
