@@ -31,6 +31,10 @@ import numpy as np
 CONFIGS = {
     1: dict(variant="tiny", image=32, classes=10, clients=3, estimator="exact"),
     2: dict(variant="small", image=32, classes=100, clients=5, estimator="exact"),
+    # configs 3-5 stay bf16: int8 q/k/v/fc1 MEASURED SLOWER on all three
+    # (3: 6.50->6.03, 4: 5.88->5.72, 5: 2.10->1.97 evals/s) — the headline
+    # bench's +8% does not transfer to these chunk shapes / estimators
+    # (BENCH_NOTES.md round 2, "where int8 pays")
     3: dict(variant="base", image=224, classes=1000, clients=8, estimator="monte_carlo", mc_m=20),
     4: dict(variant="base", image=224, classes=4, clients=10, estimator="gtg", dirichlet=0.3),
     5: dict(variant="large", image=224, classes=4, clients=16, estimator="fed_sv"),
@@ -167,8 +171,13 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         # remote compiler's own cache while padding adds real work
         # (BENCH_NOTES.md round 2). Bucketing stays for the long-running
         # service where compile-cache growth matters.
+        eval_spec = (
+            spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
+            if cfg.get("quant")
+            else spec
+        )
         evaluator = ev.make_coalition_evaluator(
-            lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+            lambda b, l, x: jvit.vit_forward(b, l, x, eval_spec),
             coalition_chunk=chunk,
         )
 
