@@ -45,6 +45,9 @@ class PathsConfig:
     local_model_path: Optional[str] = None
     global_model_path: Optional[str] = None
     validation_dataset: Optional[str] = None
+    # persistent XLA compilation cache for the long-running drivers; also
+    # settable via $SVT_COMPILE_CACHE (utils/runtime.py). None = off.
+    compile_cache_dir: Optional[str] = None
 
 
 @dataclass
@@ -211,6 +214,7 @@ class Config:
         cfg.paths.local_model_path = get("LOCAL_MODEL_PATH")
         cfg.paths.global_model_path = get("GLOBAL_MODEL_PATH")
         cfg.paths.validation_dataset = get("VALIDATION_DATASET")
+        cfg.paths.compile_cache_dir = get("SVT_COMPILE_CACHE")
         return cfg
 
     @classmethod

@@ -26,6 +26,7 @@ from shapley_vit_tpu.fl import ingestion
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import get_logger
 from shapley_vit_tpu.utils.profiling import StepTimer
 
@@ -49,6 +50,7 @@ def serve(
     start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
 
     cfg = cfg or Config.from_env()
+    runtime.enable_compile_cache(cfg.paths.compile_cache_dir)
     logger = get_logger()
     out_dir = cfg.ensure_output_dir()
     n = cfg.shapley.num_clients

@@ -40,6 +40,7 @@ from shapley_vit_tpu.fl.server import EvalServer
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import CSVLogger, get_logger
 
 PyTree = Any
@@ -279,6 +280,7 @@ def get_initial_shapley_value(
 def start(cfg: Optional[Config] = None, checkpoint_paths: Optional[List[str]] = None):
     """Entry point (reference mainShapley.py → start.py:248-331)."""
     cfg = cfg or Config.from_env()
+    runtime.enable_compile_cache(cfg.paths.compile_cache_dir)
     logger = get_logger()
     out_dir = cfg.ensure_output_dir()
     csv_logger = CSVLogger(out_dir, cfg.dist.dist_rank, cfg.obs.exp_id, cfg.data.mode)
