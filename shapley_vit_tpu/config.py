@@ -139,6 +139,10 @@ class ShapleyConfig:
     method: str = "comp_contrib"           # utils_shapley.py:14
     samples_per_client: int = 50           # m = 50 * n (utils_shapley.py:16)
     seed: int = 0                          # explicit PRNG (ref is unseeded)
+    # comp-contrib split-point allocation: uniform (reference parity) |
+    # balanced | neyman — variance reduction at equal eval budget
+    # (shapley/estimators.py, tools/sample_efficiency.py)
+    cc_stratify: str = "uniform"
     # coalition eval execution
     coalition_chunk: int = 0               # 0 = no chunking of the coalition axis
     persist_utility_table: bool = True     # resumable rounds (ref memo is RAM-only)

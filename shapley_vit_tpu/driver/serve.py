@@ -159,7 +159,11 @@ def serve(
         timer = StepTimer()
         with timer.span("shapley_round"):
             sv = call_shapley_computation_method(
-                {}, game, logger, rng=np.random.default_rng(cfg.shapley.seed + epoch)
+                {},
+                game,
+                logger,
+                rng=np.random.default_rng(cfg.shapley.seed + epoch),
+                stratify=cfg.shapley.cc_stratify,
             )
         artifacts = render_round_report(out_dir, sv, game=game, round_idx=epoch, timer=timer)
 

@@ -237,7 +237,9 @@ def get_initial_shapley_value(
     rng = np.random.default_rng(cfg.shapley.seed)
     with trace(cfg.obs.profile_dir, enabled=cfg.obs.profile):
         with timer.span("shapley_round"):
-            shapley_value = call_shapley_computation_method({}, game, logger, rng=rng)
+            shapley_value = call_shapley_computation_method(
+                {}, game, logger, rng=rng, stratify=cfg.shapley.cc_stratify
+            )
     stats = timer.summary()["shapley_round"]
     logger.info(
         f"Shapley round: {stats['total_s']:.2f}s, "

@@ -1,0 +1,177 @@
+"""Opt-in variance-reduction modes of the Monte-Carlo estimators.
+
+Beyond-reference capability (the reference samples uniformly,
+utils_shapley.py:278-287): stratified/Neyman split-point allocation for
+comp-contrib, antithetic permutation pairing for permutation-MC. Defaults
+keep the reference sampling distribution AND this package's historical rng
+stream — covered by the parity tests in test_estimators.py. Measured
+sample-efficiency table: tools/sample_efficiency.py (summarized in the
+estimator docstrings)."""
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.shapley import estimators as est
+from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+
+def _sv_array(sv, n, dim=2):
+    return np.array([[sv[d][i] for i in range(n)] for d in range(dim)])
+
+
+def _voting_table(n, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.5, 2.0, n)
+    v = rng.normal(0, 0.1, (n, 2))
+    quota = w.sum() * 0.5
+    table = {}
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            lc = list(c)
+            vote = 1.0 if w[lc].sum() > quota else 0.0
+            table[frozenset(c)] = v[lc].sum(0) + vote * np.array([1.0, 0.5])
+    return table
+
+
+def _supermod_table(n, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.5, 2.0, n)
+    table = {}
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            s = w[list(c)].sum()
+            table[frozenset(c)] = np.array([s**2, 0.5 * s**2]) / w.sum() ** 2
+    return table
+
+
+@pytest.mark.parametrize("stratify", ["balanced", "neyman"])
+def test_stratified_cc_unbiased(stratify):
+    """Mean over many seeds converges to the exact SV.
+
+    Note comp-contrib (reference arithmetic) skips empty (stratum, client)
+    cells, which biases ALL modes toward zero at small m — measured max
+    deviation 0.06 at m=4n even for the reference's uniform sampling. At
+    m=20n the cell-miss probability is negligible: uniform 0.007,
+    balanced 0.005, neyman 0.002 (stratified modes are LESS biased because
+    they cannot leave a stratum short)."""
+    n = 5
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    acc = np.zeros((2, n))
+    K = 200
+    for s in range(K):
+        g = TabularGame(table, n)
+        sv = est.shapley_comp_contrib(
+            g, 20 * n, rng=np.random.default_rng(s), stratify=stratify
+        )
+        acc += _sv_array(sv, n)
+    assert np.abs(acc / K - exact).max() < 0.02
+
+
+def test_antithetic_mc_unbiased():
+    n = 5
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    acc = np.zeros((2, n))
+    K = 200
+    for s in range(K):
+        g = TabularGame(table, n)
+        sv = est.shapley_monte_carlo(
+            g, 8, rng=np.random.default_rng(s), antithetic=True
+        )
+        acc += _sv_array(sv, n)
+    assert np.abs(acc / K - exact).max() < 0.05
+
+
+def test_neyman_beats_uniform_on_heterogeneous_game():
+    """The voting game concentrates variance near the quota split sizes;
+    Neyman allocation measurably reduces MSE at equal sample budget
+    (0.82x RMSE at n=8 m=400 in the full sweep — assert a conservative
+    bound over a fixed seed set)."""
+    n = 8
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+
+    def mse(stratify):
+        errs = []
+        for s in range(40):
+            g = TabularGame(table, n)
+            sv = est.shapley_comp_contrib(
+                g, 50 * n, rng=np.random.default_rng(s), stratify=stratify
+            )
+            errs.append(((_sv_array(sv, n) - exact) ** 2).mean())
+        return np.mean(errs)
+
+    assert mse("neyman") < mse("uniform") * 0.9
+
+
+def test_antithetic_exact_on_supermodular():
+    """Quadratic utility: each antithetic pair's marginal contributions
+    cancel to the exact SV — variance collapses to ~0."""
+    n = 6
+    table = _supermod_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    g = TabularGame(table, n)
+    sv = est.shapley_monte_carlo(
+        g, 4, rng=np.random.default_rng(0), antithetic=True
+    )
+    assert np.abs(_sv_array(sv, n) - exact).max() < 1e-9
+
+
+def test_stratified_budget_and_additive_recovery():
+    """All modes spend exactly m samples and recover additive-game SVs."""
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5], [0.05, 0.3]])
+    n = 4
+    table = additive_table(values)
+    for stratify in ["uniform", "balanced", "neyman"]:
+        g = TabularGame(table, n_all=n)
+        sv = est.shapley_comp_contrib(
+            g, 200, rng=np.random.default_rng(1), stratify=stratify
+        )
+        got = _sv_array(sv, n)
+        assert np.abs(got - values.T).max() < 0.12, stratify
+        # every sample evaluates S and N\S; full-coalition complement of the
+        # empty set is free, so evals are bounded by the powerset size
+        assert g.num_evaluations <= 2**n - 1
+
+
+def test_odd_m_antithetic_and_bad_mode():
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g = TabularGame(additive_table(values), n_all=3)
+    sv = est.shapley_monte_carlo(g, 5, rng=np.random.default_rng(0), antithetic=True)
+    assert np.isfinite(_sv_array(sv, 3)).all()
+    with pytest.raises(ValueError):
+        est.shapley_comp_contrib(g, 10, stratify="bogus")
+
+
+def test_balanced_split_points_cover_all_strata():
+    rng = np.random.default_rng(0)
+    js = est._balanced_split_points(6, 20, rng)
+    assert len(js) == 20
+    counts = np.bincount(js, minlength=7)[1:]
+    assert counts.min() >= 3 and counts.max() <= 4
+
+
+def test_neyman_allocation_sums_to_budget():
+    n = 6
+    table = _voting_table(n)
+    g = TabularGame(table, n)
+    rng = np.random.default_rng(0)
+    pilot = est._cc_samples_at(n, est._balanced_split_points(n, 2 * n, rng), rng)
+    est._cc_evaluate(g, pilot, np.array(g.selected_clients))
+    for extra in [0, 1, 7, 23]:
+        js = est._neyman_extra_split_points(g, pilot, extra, n, rng)
+        assert len(js) == extra
+        assert all(1 <= j <= n for j in js)
+
+
+def test_driver_threads_cc_stratify():
+    """call_shapley_computation_method forwards the stratify mode."""
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g = TabularGame(additive_table(values), n_all=3)
+    sv = est.call_shapley_computation_method(
+        {}, g, rng=np.random.default_rng(0), stratify="balanced"
+    )
+    assert np.abs(_sv_array(sv, 3) - values.T).max() < 0.1

@@ -1,0 +1,114 @@
+"""Sample-efficiency measurement for the Monte-Carlo Shapley estimators.
+
+Pure-host (TabularGame, no model evals, no TPU): for each estimator variant
+measure SV RMSE vs exact across seeds at a fixed sample budget, alongside the
+distinct-coalition eval count — the quantity that costs validation passes in
+production. Variance reduction here multiplies the (already compute-bound)
+TPU eval throughput: fewer evals for the same SV accuracy.
+
+Game families probe the structures FL utilities can take: additive with
+idiosyncratic per-coalition noise, submodular (diminishing returns — the
+typical accuracy-vs-coalition-size shape), supermodular, and a
+threshold/voting blend (the adversarial case for antithetic pairing).
+
+Usage: python tools/sample_efficiency.py [--n 8] [--m 400] [--seeds 80]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from itertools import combinations
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shapley_vit_tpu.shapley import estimators as est  # noqa: E402
+from shapley_vit_tpu.shapley.game import TabularGame  # noqa: E402
+
+
+def build_table(kind: str, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.5, 2.0, n)
+    v = rng.normal(0, 0.1, (n, 2))
+    quota = w.sum() * 0.5
+    table = {}
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            lc = list(c)
+            s = w[lc].sum()
+            if kind == "vote":
+                u = v[lc].sum(0) + (1.0 if s > quota else 0.0) * np.array([1.0, 0.5])
+            elif kind == "supermod":
+                u = np.array([s**2, 0.5 * s**2]) / w.sum() ** 2
+            elif kind == "submod":
+                u = np.array([np.sqrt(s), 0.3 * np.sqrt(s)])
+            elif kind == "noisy_add":
+                u = v[lc].sum(0) + np.random.default_rng(hash(c) % 2**32).normal(0, 0.05, 2)
+            else:
+                raise ValueError(kind)
+            table[frozenset(c)] = u
+    return table
+
+
+def exact_sv(table, n):
+    g = TabularGame(table, n)
+    sv = est.shapley_exact(g)
+    return np.array([[sv[d][i] for i in range(n)] for d in range(g.utility_dim)])
+
+
+def run_variant(table, n, m, seeds, fn):
+    errs, evals = [], []
+    ex = exact_sv(table, n)
+    for s in range(seeds):
+        g = TabularGame(table, n)
+        sv = fn(g, np.random.default_rng(s))
+        a = np.array([[sv[d][i] for i in range(n)] for d in range(g.utility_dim)])
+        errs.append(float(((a - ex) ** 2).mean()))
+        evals.append(g.num_evaluations)
+    return float(np.sqrt(np.mean(errs))), float(np.mean(evals))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--m", type=int, default=None, help="sample budget (default 50n)")
+    ap.add_argument("--seeds", type=int, default=80)
+    args = ap.parse_args()
+    n = args.n
+    m = args.m or 50 * n
+
+    variants = {
+        "cc_uniform": lambda g, r: est.shapley_comp_contrib(g, m, rng=r),
+        "cc_balanced": lambda g, r: est.shapley_comp_contrib(g, m, rng=r, stratify="balanced"),
+        "cc_neyman": lambda g, r: est.shapley_comp_contrib(g, m, rng=r, stratify="neyman"),
+        "mc_plain": lambda g, r: est.shapley_monte_carlo(g, m // n * 2, rng=r),
+        "mc_antithetic": lambda g, r: est.shapley_monte_carlo(
+            g, m // n * 2, rng=r, antithetic=True
+        ),
+    }
+
+    results = {}
+    for kind in ["noisy_add", "submod", "supermod", "vote"]:
+        table = build_table(kind, n, 0)
+        results[kind] = {}
+        base = {}
+        for name, fn in variants.items():
+            rmse, evals = run_variant(table, n, m, args.seeds, fn)
+            results[kind][name] = {"rmse": round(rmse, 6), "evals": round(evals, 1)}
+            fam = name.split("_")[0]
+            if name in ("cc_uniform", "mc_plain"):
+                base[fam] = rmse
+            rel = rmse / base[fam]
+            print(
+                f"{kind:10s} {name:14s} rmse={rmse:.5f} ({rel:4.2f}x of {fam} baseline) "
+                f"distinct-evals={evals:.0f}"
+            )
+    print(json.dumps({"n": n, "m": m, "seeds": args.seeds, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
