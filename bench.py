@@ -29,11 +29,9 @@ def main():
     import jax
 
     # persistent executable cache: re-runs skip the multi-minute TPU compile
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from shapley_vit_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     import jax.numpy as jnp
     import numpy as np

@@ -60,11 +60,9 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
 
     # persistent executable cache: MC estimators submit several coalition-
     # batch shapes; re-runs and repeated shapes skip the remote compile
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from shapley_vit_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
     from shapley_vit_tpu.fl import evaluation as ev
     from shapley_vit_tpu.models import vit as jvit
@@ -132,6 +130,15 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     )
     mat = jax.jit(tm.materialize_coalitions)
 
+    # forward mode only — materialization/aggregation math stays f32
+    # 'highest' (the SV parity bar); int8 carries the same trained-model
+    # argmax-agreement contract as bench.py (tools/quant_agreement.py)
+    eval_spec = (
+        spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
+        if cfg.get("quant")
+        else spec
+    )
+
     if cfg.get("full_delta"):
         # the coalition axis carries COMPLETE model trees (86M params each
         # for ViT-B); chunk by weight residency too: C compute-dtype trees
@@ -149,14 +156,6 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
                 tm.materialize_coalitions(b, s, W),
             )
         )
-        # forward mode only — materialization/aggregation math stays f32
-        # 'highest' (the SV parity bar); int8 carries the same trained-model
-        # argmax-agreement contract as bench.py (tools/quant_agreement.py)
-        eval_spec = (
-            spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
-            if cfg.get("quant")
-            else spec
-        )
         evaluator = ev.make_coalition_evaluator(
             lambda _s, v, x: jvit.vit_forward(v, None, x, eval_spec),
             coalition_chunk=chunk,
@@ -171,11 +170,6 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         # remote compiler's own cache while padding adds real work
         # (BENCH_NOTES.md round 2). Bucketing stays for the long-running
         # service where compile-cache growth matters.
-        eval_spec = (
-            spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
-            if cfg.get("quant")
-            else spec
-        )
         evaluator = ev.make_coalition_evaluator(
             lambda b, l, x: jvit.vit_forward(b, l, x, eval_spec),
             coalition_chunk=chunk,

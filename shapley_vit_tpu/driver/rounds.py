@@ -63,11 +63,14 @@ def run_federated_rounds(
     shapley_budget: Optional[int] = None,         # k_max rounds get Shapley (MILP)
     utility_dim: int = 2,
     seed: int = 0,
+    cc_stratify: str = "uniform",
     logger=None,
 ) -> List[RoundRecord]:
     """Run T federated rounds; Shapley-value the selected ones.
 
     ``estimator``: comp_contrib (live-path default) | exact | gtg | mr | tmr.
+    ``cc_stratify``: comp-contrib split-point allocation
+    (``cfg.shapley.cc_stratify``; see shapley/estimators.py).
     """
     logger = logger or get_logger()
     n = len(clients_data)
@@ -133,7 +136,11 @@ def run_federated_rounds(
         )
         if estimator == "comp_contrib":
             sv = call_shapley_computation_method(
-                {}, game, logger, rng=np.random.default_rng(seed + 1000 + t)
+                {},
+                game,
+                logger,
+                rng=np.random.default_rng(seed + 1000 + t),
+                stratify=cc_stratify,
             )
         elif estimator == "exact":
             sv = shapley_exact(game)

@@ -105,8 +105,12 @@ def serve(
             watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
         )
         if not any(selection):
-            logger.info("no readable checkpoints this round; stopping")
-            break
+            # a transient shared-disk fault can corrupt a whole epoch's
+            # files; a long-running service must outlive ONE bad round, not
+            # stop on it (only "nothing arrived" above stops the loop)
+            logger.info(f"no readable checkpoints for epoch {epoch}; skipping round")
+            epoch += 1
+            continue
         # per-client data sizes from checkpoint metadata drive the FedAvg
         # ratios (load-bearing for SV — reference server2.py:68-81); on
         # partial metadata the round uses equal weights (see ingestion)
@@ -130,7 +134,8 @@ def serve(
             n_all=n,
         )
         # mid-round crash recovery: the utility memo persists after every
-        # precompute batch, and a restarted service picks up a killed
+        # chunk-sized block of coalition evals (a kill mid-round loses at
+        # most one block of TPU work), and a restarted service picks up a killed
         # round's finished coalitions instead of re-evaluating them
         # (beyond-reference — the reference memo is RAM-only, game2.py:32-34).
         # The table is stamped with a fingerprint of this round's inputs so
@@ -155,7 +160,7 @@ def serve(
                         f"ignoring stale utility table for epoch {epoch} "
                         "(round inputs changed since it was written)"
                     )
-            ckpt.checkpointed_game(game, table_path, fingerprint=fp)
+            ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
         timer = StepTimer()
         with timer.span("shapley_round"):
             sv = call_shapley_computation_method(

@@ -61,6 +61,14 @@ def build_model(cfg: Config, key=None):
         raise ValueError(
             f"model.quant must be 'none' or 'int8', got {cfg.model.quant!r}"
         )
+    # fail config typos at bring-up, not after minutes of model/data setup
+    # and checkpoint ingestion (the round-time check in shapley_comp_contrib
+    # would fire far too late for a service)
+    if cfg.shapley.cc_stratify not in ("uniform", "balanced", "neyman"):
+        raise ValueError(
+            "shapley.cc_stratify must be 'uniform', 'balanced' or 'neyman', "
+            f"got {cfg.shapley.cc_stratify!r}"
+        )
     spec = jvit.make_spec(
         variant,
         num_classes=cfg.model.num_classes,
@@ -228,7 +236,7 @@ def get_initial_shapley_value(
             restored = ckpt.resume_game(game, table_path, fingerprint=fp)
             if restored:
                 logger.info(f"resumed {restored} coalition utilities from {table_path}")
-        ckpt.checkpointed_game(game, table_path, fingerprint=fp)
+        ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
     server = EvalServer(base, clients, valid_batches=data, valid_size=len(valid))  # noqa: F841 (parity object)
 
     from shapley_vit_tpu.utils.profiling import StepTimer, trace

@@ -81,10 +81,16 @@ def fingerprint_inputs(*trees, extra=None) -> str:
             h.update(str(a.dtype).encode())
             b = a.tobytes()
             if len(b) > 8192:
-                # big leaves (full-model deltas): head + tail + exact f64 sum
-                h.update(b[:4096])
-                h.update(b[-4096:])
-                h.update(np.sum(a, dtype=np.float64).tobytes())
+                # big leaves (stacked client deltas): strided byte sample
+                # across the WHOLE buffer + per-leading-index f64 sums.
+                # (A head+tail+total-sum digest collides when client rows of
+                # a stacked leaf are permuted — e.g. two clients' checkpoints
+                # land in each other's directories — which is exactly the
+                # staleness this fingerprint must catch.)
+                step = max(1, len(b) // 8192)
+                h.update(b[::step])
+                flat = a.reshape(a.shape[0], -1) if a.ndim > 1 else a.reshape(1, -1)
+                h.update(np.sum(flat, axis=1, dtype=np.float64).tobytes())
             else:
                 h.update(b)
     if extra is not None:
@@ -144,17 +150,39 @@ def resume_game(game, path: str, fingerprint: Optional[str] = None) -> int:
     return len(table)
 
 
-def checkpointed_game(game, path: str, every: int = 1, fingerprint: Optional[str] = None):
-    """Wrap a Game so its memo persists after each ``precompute`` batch —
-    mid-round crash recovery for long Monte-Carlo estimations."""
+def checkpointed_game(
+    game,
+    path: str,
+    every: int = 1,
+    fingerprint: Optional[str] = None,
+    block: int = 8,
+):
+    """Wrap a Game so its memo persists incrementally — mid-round crash
+    recovery for long Monte-Carlo estimations.
+
+    The estimators submit a whole round's coalitions in ONE ``precompute``
+    call (that's the batched-TPU design), so saving only after it returns
+    would persist nothing if the service dies mid-round — i.e. during the
+    part that takes all the wall-clock. The wrapper therefore splits the
+    not-yet-cached work into ``block``-sized batches, saving after each:
+    a kill loses at most ``block`` coalition evals. Use ``block`` equal to
+    the evaluator's coalition chunk so batch shapes match what the
+    evaluator would compile anyway."""
     orig_precompute = game.precompute
     counter = {"n": 0}
 
     def precompute(coalitions):
-        orig_precompute(coalitions)
-        counter["n"] += 1
-        if counter["n"] % every == 0:
-            save_utility_table(path, game.utility, fingerprint=fingerprint)
+        todo, seen = [], set()
+        for coalition in coalitions:
+            key = frozenset(coalition)
+            if key and key not in game.utility and key not in seen:
+                seen.add(key)
+                todo.append(sorted(key))
+        for i in range(0, len(todo), max(1, block)):
+            orig_precompute(todo[i : i + max(1, block)])
+            counter["n"] += 1
+            if counter["n"] % every == 0:
+                save_utility_table(path, game.utility, fingerprint=fingerprint)
 
     game.precompute = precompute
     return game

@@ -342,9 +342,13 @@ def shapley_comp_contrib(
       per-stratum std of the complementary contribution. Strata where
       coalition value varies most get the most samples.
 
-    Both stratified modes stay unbiased per stratum (each stratum's samples
-    are iid uniform permutations at that split size) and reuse the pilot
-    draws in the final score. Measured sample-efficiency:
+    ``balanced`` keeps each stratum's samples iid uniform permutations at
+    that split size (unbiased per stratum, up to the empty-cell skip all
+    modes share at small m). ``neyman`` reuses the pilot draws in the final
+    score, so the per-stratum sample count correlates with the pilot's
+    realized values — a second-order bias, measured SMALLER than uniform's
+    own small-m bias (max mean deviation at m=20n, n=5 voting game:
+    uniform 0.007, neyman 0.002). Measured sample-efficiency:
     tools/sample_efficiency.py."""
     if proc_num < 0:
         raise ValueError("Invalid proc num.")

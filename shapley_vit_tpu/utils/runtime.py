@@ -40,4 +40,14 @@ def enable_compile_cache(
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_compile_secs))
+    # JAX latches its cache singleton on the FIRST compile of the process;
+    # enabling (or re-pointing) the cache after any compile would otherwise
+    # silently no-op. reset_cache() drops the latch so the next compile
+    # re-reads the config. Private API, so degrade gracefully.
+    try:
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:
+        pass
     return path

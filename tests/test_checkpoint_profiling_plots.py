@@ -250,3 +250,58 @@ def test_fingerprint_inputs_sensitivity():
     fp0 = ckpt.fingerprint_inputs(big)
     big["w"][300, 300] = 1e-3
     assert ckpt.fingerprint_inputs(big) != fp0
+
+
+def test_fingerprint_detects_row_permutation():
+    """A head+tail+total-sum digest collides when client rows of a stacked
+    delta leaf are permuted (the exact staleness scenario the fingerprint
+    guards); the strided-sample + per-row-sum digest must not."""
+    a = np.random.default_rng(0).normal(size=(4, 2048)).astype(np.float32)
+    assert a.nbytes > 8192  # exercises the big-leaf path
+    b = a.copy()
+    b[[1, 2]] = b[[2, 1]]
+    assert ckpt.fingerprint_inputs({"w": a}) != ckpt.fingerprint_inputs({"w": b})
+    # and identical content still matches
+    assert ckpt.fingerprint_inputs({"w": a}) == ckpt.fingerprint_inputs(
+        {"w": a.copy()}
+    )
+
+
+def test_checkpointed_game_persists_per_block(tmp_path):
+    """A crash INSIDE the round's single batched precompute (where all the
+    wall-clock is) must still leave the finished blocks on disk."""
+    from shapley_vit_tpu.shapley.game import Game
+
+    calls = {"n": 0}
+
+    def crashing_eval(W):
+        calls["n"] += W.shape[0]
+        if calls["n"] > 4:
+            raise RuntimeError("simulated mid-round crash")
+        return np.tile(W.sum(axis=1, keepdims=True), (1, 2))
+
+    game = Game(
+        eval_coalitions_fn=crashing_eval,
+        num_local_data=[1.0] * 5,
+        client_selection_vector=[True] * 5,
+        previous_utility=[0.0, 0.0],
+    )
+    path = str(tmp_path / "util.npz")
+    ckpt.checkpointed_game(game, path, block=2)
+    coalitions = [[0], [1], [2], [3], [4], [0, 1]]
+    with pytest.raises(RuntimeError):
+        game.precompute(coalitions)
+
+    # two completed 2-coalition blocks were persisted before the crash
+    table, _ = ckpt.load_utility_table(path)
+    assert len(table) == 4
+
+    game2 = Game(
+        eval_coalitions_fn=lambda W: np.tile(W.sum(axis=1, keepdims=True), (1, 2)),
+        num_local_data=[1.0] * 5,
+        client_selection_vector=[True] * 5,
+        previous_utility=[0.0, 0.0],
+    )
+    assert ckpt.resume_game(game2, path) == 4
+    game2.precompute(coalitions)
+    assert game2.num_evaluations == 2  # only the lost block re-evaluates

@@ -4,8 +4,23 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from shapley_vit_tpu.utils import runtime
+
+
+@pytest.fixture(autouse=True)
+def _restore_cache_config():
+    """enable_compile_cache mutates process-global jax config; restore it so
+    the rest of the suite doesn't persist every sub-second compile into a
+    dead tmp_path dir."""
+    before = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+    )
+    yield
+    jax.config.update("jax_compilation_cache_dir", before[0])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", before[1])
 
 
 def test_noop_when_unset(monkeypatch):

@@ -121,3 +121,24 @@ def test_serve_resumes_mid_round_from_utility_table(cfg):
     # symmetric per-client scores in each dim)
     sv_acc = records[0]["shapley"][0]
     assert len(set(round(v, 9) for v in sv_acc.values())) == 1
+
+
+def test_serve_survives_all_corrupt_round(cfg):
+    """A transient fault corrupting a whole epoch's files must not stop the
+    service — the round is skipped and the next epoch processes normally."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    for i in range(3):
+        p = os.path.join(
+            cfg.paths.local_model_path, f"client_{i + 1}_model",
+            "ViT_epoch_0.pth.tar",
+        )
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"not a checkpoint")
+    write_epoch(cfg, spec, init_lora, epoch=1)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    assert len(records) == 1
+    assert records[0]["epoch"] == 1

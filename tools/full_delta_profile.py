@@ -40,11 +40,9 @@ def timeit(fn, reps=REPS):
 def main():
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from shapley_vit_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
     import jax.numpy as jnp
     import numpy as np
 
