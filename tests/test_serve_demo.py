@@ -46,3 +46,23 @@ def test_serve_demo_three_epochs(tmp_path):
         os.path.join(cfg.paths.local_model_path, "client_1_model", "ViT_epoch_0.npz")
     )
     assert meta["num_local_data_train"] > 0
+
+
+def test_run_demo_one_shot(tmp_path):
+    """python -m shapley_vit_tpu.driver.run_demo — the zero-config one-shot
+    flow: real local training -> atomic checkpoint drop -> start() parity
+    path -> per-client SVs."""
+    from shapley_vit_tpu.driver import run_demo
+
+    all_rounds, sv_sum, out = run_demo.run_demo(
+        out_dir=str(tmp_path), local_steps=2
+    )
+    assert out == str(tmp_path)
+    # [seed-SV, computed-SV] per utility dim, one value per client
+    assert len(all_rounds) == 2
+    for dim_rounds in all_rounds:
+        assert len(dim_rounds) == 2
+        for sv in dim_rounds:
+            assert set(sv) == {0, 1, 2}
+            assert all(np.isfinite(v) for v in sv.values())
+    assert len(sv_sum) == 2

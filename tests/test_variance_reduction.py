@@ -175,3 +175,20 @@ def test_driver_threads_cc_stratify():
         {}, g, rng=np.random.default_rng(0), stratify="balanced"
     )
     assert np.abs(_sv_array(sv, 3) - values.T).max() < 0.1
+
+
+def test_sample_efficiency_tool_smoke(capsys, monkeypatch):
+    import os
+    import runpy
+    import sys
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "sample_efficiency.py",
+    )
+    monkeypatch.setattr(
+        sys, "argv", [path, "--n", "4", "--m", "40", "--seeds", "4"]
+    )
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert '"results"' in out and "cc_neyman" in out
