@@ -246,12 +246,21 @@ def _cc_evaluate(game: Game, samples, selected: np.ndarray) -> None:
     game.precompute(coalitions)
 
 
-def _cc_score(game: Game, samples, selected: np.ndarray) -> List[np.ndarray]:
+def _cc_score(game: Game, samples, selected: np.ndarray, with_se: bool = False):
     """Reference scoring arithmetic (utils_shapley.py:291-301, 345-352):
     scatter ±(u1−u2) into per-stratum accumulators, per-stratum mean, sum
-    over strata, ÷ n."""
+    over strata, ÷ n.
+
+    ``with_se=True`` additionally returns the per-client standard error of
+    the estimate: the SV is (1/n)·Σ_strata (stratum mean), so its sampling
+    variance is (1/n²)·Σ_strata s²_strat/count (strata are near-independent:
+    disjoint sample subsets feed each (stratum, client) cell). Cells with
+    fewer than 2 samples contribute zero variance — the SE is a lower bound
+    at very small m (same small-m regime where the estimator itself is
+    biased; see shapley_comp_contrib)."""
     n = game.n
     utility = [np.zeros((n + 1, n)) for _ in range(game.utility_dim)]
+    utility_sq = [np.zeros((n + 1, n)) for _ in range(game.utility_dim)]
     count = np.zeros((n + 1, n))
     for idxs, j in samples:
         u_1 = game.eval_utility(selected[idxs[:j]])
@@ -261,21 +270,32 @@ def _cc_score(game: Game, samples, selected: np.ndarray) -> List[np.ndarray]:
         count[j, :] += temp
         for i in range(game.utility_dim):
             utility[i][j, :] += temp * (u_1[i] - u_2[i])
+            utility_sq[i][j, :] += temp * (u_1[i] - u_2[i]) ** 2
         temp = np.zeros(n)
         temp[idxs[j:]] = 1
         count[n - j, :] += temp
         for i in range(game.utility_dim):
             utility[i][n - j, :] += temp * (u_2[i] - u_1[i])
+            utility_sq[i][n - j, :] += temp * (u_2[i] - u_1[i]) ** 2
 
     sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    var = [np.zeros(n) for _ in range(game.utility_dim)]
     for i in range(n + 1):
         for j in range(n):
             for k in range(game.utility_dim):
                 if count[i][j] != 0:
-                    sv[k][j] += utility[k][i][j] / count[i][j]
+                    mean = utility[k][i][j] / count[i][j]
+                    sv[k][j] += mean
+                    if with_se and count[i][j] >= 2:
+                        c = count[i][j]
+                        s2 = (utility_sq[k][i][j] / c - mean**2) * c / (c - 1)
+                        var[k][j] += max(s2, 0.0) / c
     for i in range(game.utility_dim):
         sv[i] /= n
-    return sv
+    if not with_se:
+        return sv
+    se = [np.sqrt(v) / n for v in var]
+    return sv, se
 
 
 def _neyman_extra_split_points(
@@ -319,7 +339,8 @@ def shapley_comp_contrib(
     proc_num: int = 1,
     rng: Optional[np.random.Generator] = None,
     stratify: str = "uniform",
-) -> List[Dict[int, float]]:
+    return_se: bool = False,
+):
     """Complementary-contribution estimator (the live-path default;
     utils_shapley.py:273-362 ``_cc_shap_task`` + ``shapley_comp_contrib``).
 
@@ -349,7 +370,13 @@ def shapley_comp_contrib(
     realized values — a second-order bias, measured SMALLER than uniform's
     own small-m bias (max mean deviation at m=20n, n=5 voting game:
     uniform 0.007, neyman 0.002). Measured sample-efficiency:
-    tools/sample_efficiency.py."""
+    tools/sample_efficiency.py.
+
+    ``return_se=True`` returns ``(sv, se)`` where ``se`` mirrors ``sv``'s
+    structure with the per-client standard error of the estimate (analytic,
+    from the per-stratum sample variances — no extra evaluations). Use for
+    significance calls on contribution scores, e.g. |sv| > 2·se (beyond
+    reference: the reference reports point estimates only)."""
     if proc_num < 0:
         raise ValueError("Invalid proc num.")
     if stratify not in ("uniform", "balanced", "neyman"):
@@ -373,6 +400,9 @@ def shapley_comp_contrib(
         _cc_evaluate(game, extra, selected)
         samples = pilot + extra
 
+    if return_se:
+        sv, se = _cc_score(game, samples, selected, with_se=True)
+        return _merge_with_default(game, sv), _merge_with_default(game, se)
     sv = _cc_score(game, samples, selected)
     return _merge_with_default(game, sv)
 
@@ -396,14 +426,21 @@ def call_shapley_computation_method(
     if isinstance(args, dict):
         args["approximation_method"] = "comp_contrib"
     m = 50 * game.n
-    shapley_value = shapley_comp_contrib(game, m, rng=rng, stratify=stratify)
+    shapley_value, se = shapley_comp_contrib(
+        game, m, rng=rng, stratify=stratify, return_se=True
+    )
     msg = f"Comp contrib: {shapley_value}"
+    se_msg = "Comp contrib standard errors (1 sigma): " + str(
+        [{k: round(v, 6) for k, v in d.items()} for d in se]
+    )
     sums = [sum(shapley_value[i].values()) for i in range(game.utility_dim)]
     sums_msg = f"Shapley value sum for each utility: {sums}"
     if logger is not None:
         logger.info(msg)
+        logger.info(se_msg)
         logger.info(sums_msg)
     else:
         print(msg)
+        print(se_msg)
         print(sums_msg)
     return shapley_value

@@ -192,3 +192,56 @@ def test_sample_efficiency_tool_smoke(capsys, monkeypatch):
     runpy.run_path(path, run_name="__main__")
     out = capsys.readouterr().out
     assert '"results"' in out and "cc_neyman" in out
+
+
+def test_comp_contrib_se_coverage():
+    """±2·SE covers the exact SV at near-nominal rates (analytic SE from
+    per-stratum sample variances; no extra evaluations)."""
+    n = 6
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    covered = total = 0
+    for s in range(60):
+        g = TabularGame(table, n)
+        sv, se = est.shapley_comp_contrib(
+            g, 30 * n, rng=np.random.default_rng(s), return_se=True
+        )
+        a, e = _sv_array(sv, n), _sv_array(se, n)
+        covered += int(np.sum(np.abs(a - exact) <= 2 * e))
+        total += a.size
+    # nominal ~95%; allow slack for the small-m variance underestimate
+    assert covered / total > 0.85
+
+
+def test_comp_contrib_se_shrinks_with_budget():
+    n = 5
+    table = _voting_table(n)
+
+    def mean_se(m):
+        ses = []
+        for s in range(10):
+            g = TabularGame(table, n)
+            _, se = est.shapley_comp_contrib(
+                g, m, rng=np.random.default_rng(s), return_se=True
+            )
+            ses.append(_sv_array(se, n).mean())
+        return np.mean(ses)
+
+    lo, hi = mean_se(40), mean_se(640)
+    # 16x budget -> ~4x smaller SE
+    assert hi < lo / 2.5
+
+
+def test_se_structure_and_rng_parity():
+    """return_se must not perturb the point estimate or the rng stream."""
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g1 = TabularGame(additive_table(values), n_all=3)
+    sv1 = est.shapley_comp_contrib(g1, 60, rng=np.random.default_rng(7))
+    g2 = TabularGame(additive_table(values), n_all=3)
+    sv2, se = est.shapley_comp_contrib(
+        g2, 60, rng=np.random.default_rng(7), return_se=True
+    )
+    assert sv1 == sv2
+    for d in se:
+        assert set(d) == {0, 1, 2}
+        assert all(v >= 0 for v in d.values())
