@@ -47,8 +47,11 @@ def write_utility_table_csv(path: str, utility: Dict, utility_dim: int = 2) -> N
 
 def plot_shapley_bar(
     shapley_value: Sequence[Dict[int, float]], save_path: str, title: str = "Shapley values",
+    se: Optional[Sequence[Dict[int, float]]] = None,
 ) -> None:
-    """Per-client grouped bars, one group color per utility dim."""
+    """Per-client grouped bars, one group color per utility dim.
+    ``se`` (same structure) adds ±2σ whiskers so a bar whose whisker spans
+    zero reads as "not significant at this sample budget"."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -60,7 +63,9 @@ def plot_shapley_bar(
     fig, ax = plt.subplots(figsize=(1.2 * len(clients) + 3, 4))
     for d in range(dims):
         xs = np.arange(len(clients)) + d * width
+        yerr = [2 * se[d][c] for c in clients] if se is not None else None
         ax.bar(xs, [shapley_value[d][c] for c in clients], width=width,
+               yerr=yerr, capsize=3 if yerr else 0,
                label=UTILITY_NAMES.get(d, str(d)))
     ax.set_xticks(np.arange(len(clients)) + 0.4 - width / 2)
     ax.set_xticklabels([f"client {c}" for c in clients])
@@ -104,6 +109,7 @@ def render_round_report(
     game=None,
     round_idx: int = 0,
     timer=None,
+    se: Optional[Sequence[Dict[int, float]]] = None,
 ) -> List[str]:
     """One call per round; returns created artifact paths."""
     paths = []
@@ -115,7 +121,9 @@ def render_round_report(
         write_utility_table_csv(p, game.utility, game.utility_dim)
         paths.append(p)
     p = os.path.join(out_dir, f"sv_bar_r{round_idx}.png")
-    plot_shapley_bar(shapley_value, p, title=f"Shapley values — round {round_idx}")
+    plot_shapley_bar(
+        shapley_value, p, title=f"Shapley values — round {round_idx}", se=se
+    )
     paths.append(p)
     if timer is not None:
         p = os.path.join(out_dir, f"timing_r{round_idx}.csv")

@@ -163,14 +163,17 @@ def serve(
             ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
         timer = StepTimer()
         with timer.span("shapley_round"):
-            sv = call_shapley_computation_method(
+            sv, sv_se = call_shapley_computation_method(
                 {},
                 game,
                 logger,
                 rng=np.random.default_rng(cfg.shapley.seed + epoch),
                 stratify=cfg.shapley.cc_stratify,
+                return_se=True,
             )
-        artifacts = render_round_report(out_dir, sv, game=game, round_idx=epoch, timer=timer)
+        artifacts = render_round_report(
+            out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se
+        )
 
         # advance the global overlay by the full-coalition FedAvg and chain
         # previous_utility to the new global's absolute utility

@@ -14,6 +14,7 @@ from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     shapley_exact_own,
     shapley_monte_carlo,
     shapley_comp_contrib,
+    shapley_comp_contrib_adaptive,
     split_permutation,
     split_permutation_num,
     split_num,

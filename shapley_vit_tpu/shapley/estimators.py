@@ -407,6 +407,78 @@ def shapley_comp_contrib(
     return _merge_with_default(game, sv)
 
 
+def _cc_cell_counts(samples, n: int) -> np.ndarray:
+    """Per-(stratum, client) sample counts for strata 1..n (stratum 0 is
+    never credited: the empty complement at j=n scatters nothing)."""
+    count = np.zeros((n + 1, n))
+    for idxs, j in samples:
+        t = np.zeros(n)
+        t[idxs[:j]] = 1
+        count[j] += t
+        t = np.zeros(n)
+        t[idxs[j:]] = 1
+        count[n - j] += t
+    return count[1:]
+
+
+def shapley_comp_contrib_adaptive(
+    game: Game,
+    target_se: float,
+    rng: Optional[np.random.Generator] = None,
+    stratify: str = "balanced",
+    block: Optional[int] = None,
+    max_m: Optional[int] = None,
+):
+    """Comp-contrib with an ADAPTIVE sample budget (beyond reference):
+    draw ``block`` samples at a time — each block is one batched
+    ``game.precompute`` on device — until every client's standard error is
+    at or below ``target_se`` (or ``max_m`` samples are spent).
+
+    ``stratify="neyman"`` re-allocates every subsequent block across split
+    sizes by the variance observed in ALL samples so far (the adaptive
+    generalization of the two-phase pilot). Returns ``(sv, se, m_used)``.
+
+    Use when the eval budget should follow the question ("is the ranking
+    significant?") instead of the reference's fixed m = 50·n
+    (utils_shapley.py:16)."""
+    if stratify not in ("uniform", "balanced", "neyman"):
+        raise ValueError(f"unknown stratify mode {stratify!r}")
+    if target_se <= 0:
+        raise ValueError("target_se must be positive")
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+    block = block or max(2 * n, 10)
+    max_m = max_m or 500 * n
+
+    samples = []
+    while True:
+        want = min(block, max_m - len(samples))
+        if stratify == "uniform" or n == 1:
+            new = _cc_samples(n, want, rng)
+        elif stratify == "balanced" or not samples:
+            new = _cc_samples_at(n, _balanced_split_points(n, want, rng), rng)
+        else:  # neyman: all samples so far are the pilot
+            js = _neyman_extra_split_points(game, samples, want, n, rng)
+            new = _cc_samples_at(n, js, rng)
+        _cc_evaluate(game, new, selected)
+        samples += new
+        sv, se = _cc_score(game, samples, selected, with_se=True)
+        worst = max(float(x.max()) for x in se)
+        # cells with <2 samples report zero variance, so the SE is a hard
+        # lower bound early on (a 20-sample n=5 run measured SE 0.05 vs a
+        # true error of 0.25) — only trust it once every reachable
+        # (stratum, client) cell has >= 3 samples
+        covered = _cc_cell_counts(samples, n).min() >= 3
+        if (worst <= target_se and covered) or len(samples) >= max_m:
+            break
+    return (
+        _merge_with_default(game, sv),
+        _merge_with_default(game, se),
+        len(samples),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry (utils_shapley.py:13-51)
 # ---------------------------------------------------------------------------
@@ -417,12 +489,14 @@ def call_shapley_computation_method(
     logger=None,
     rng: Optional[np.random.Generator] = None,
     stratify: str = "uniform",
-) -> List[Dict[int, float]]:
+    return_se: bool = False,
+):
     """The live-path entry: method pinned to comp_contrib with m = 50·n
     (utils_shapley.py:13-17); logs per-dim SV sums as the efficiency-axiom
     sanity print (utils_shapley.py:50). ``stratify`` selects the
     comp-contrib split-point allocation (see :func:`shapley_comp_contrib`;
-    ``cfg.shapley.cc_stratify`` in the drivers)."""
+    ``cfg.shapley.cc_stratify`` in the drivers). Standard errors are always
+    logged; ``return_se=True`` additionally returns them as ``(sv, se)``."""
     if isinstance(args, dict):
         args["approximation_method"] = "comp_contrib"
     m = 50 * game.n
@@ -443,4 +517,6 @@ def call_shapley_computation_method(
         print(msg)
         print(se_msg)
         print(sums_msg)
+    if return_se:
+        return shapley_value, se
     return shapley_value

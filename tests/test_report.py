@@ -40,3 +40,13 @@ def test_render_round_report(tmp_path):
         assert len(list(csv.DictReader(f))) == 12
     report.plot_shapley_rounds([sv, sv2], str(tmp_path / "traj.png"))
     assert os.path.getsize(tmp_path / "traj.png") > 0
+
+
+def test_sv_bar_with_error_bars(tmp_path):
+    sv = [{0: 0.2, 1: -0.1}, {0: 1.0, 1: 0.4}]
+    se = [{0: 0.05, 1: 0.02}, {0: 0.1, 1: 0.3}]
+    p = str(tmp_path / "bar.png")
+    report.plot_shapley_bar(sv, p, se=se)
+    assert os.path.getsize(p) > 0
+    paths = report.render_round_report(str(tmp_path), sv, se=se, round_idx=3)
+    assert any(p.endswith("sv_bar_r3.png") for p in paths)

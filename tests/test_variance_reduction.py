@@ -245,3 +245,56 @@ def test_se_structure_and_rng_parity():
     for d in se:
         assert set(d) == {0, 1, 2}
         assert all(v >= 0 for v in d.values())
+
+
+def test_adaptive_comp_contrib_hits_target():
+    n = 5
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    g = TabularGame(table, n)
+    sv, se, m = est.shapley_comp_contrib_adaptive(
+        g, target_se=0.05, rng=np.random.default_rng(0)
+    )
+    a, e = _sv_array(sv, n), _sv_array(se, n)
+    assert e.max() <= 0.05
+    assert m >= 4 * n
+    # estimate is consistent with its own error bars vs exact
+    assert np.abs(a - exact).max() < 0.05 * 4
+
+
+def test_adaptive_budget_scales_with_target():
+    n = 5
+    table = _voting_table(n)
+    g1 = TabularGame(table, n)
+    _, _, m_loose = est.shapley_comp_contrib_adaptive(
+        g1, target_se=0.2, rng=np.random.default_rng(1)
+    )
+    g2 = TabularGame(table, n)
+    _, _, m_tight = est.shapley_comp_contrib_adaptive(
+        g2, target_se=0.03, rng=np.random.default_rng(1)
+    )
+    assert m_tight > m_loose
+
+
+def test_adaptive_respects_max_m_and_validates():
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g = TabularGame(additive_table(values), n_all=3)
+    _, _, m = est.shapley_comp_contrib_adaptive(
+        g, target_se=1e-9, rng=np.random.default_rng(0), max_m=50
+    )
+    assert m == 50
+    with pytest.raises(ValueError):
+        est.shapley_comp_contrib_adaptive(g, target_se=0.0)
+    with pytest.raises(ValueError):
+        est.shapley_comp_contrib_adaptive(g, target_se=0.1, stratify="nope")
+
+
+def test_adaptive_neyman_runs():
+    n = 6
+    table = _voting_table(n)
+    g = TabularGame(table, n)
+    sv, se, m = est.shapley_comp_contrib_adaptive(
+        g, target_se=0.08, rng=np.random.default_rng(2), stratify="neyman"
+    )
+    assert _sv_array(se, n).max() <= 0.08
+    assert np.isfinite(_sv_array(sv, n)).all()
