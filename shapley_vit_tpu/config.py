@@ -143,6 +143,11 @@ class ShapleyConfig:
     # balanced | neyman — variance reduction at equal eval budget
     # (shapley/estimators.py, tools/sample_efficiency.py)
     cc_stratify: str = "uniform"
+    # when > 0, replace the fixed m = 50n budget with the adaptive
+    # estimator: sample until every client's SV standard error is <=
+    # target_se (shapley_comp_contrib_adaptive); bounded by
+    # samples_per_client * n * 10
+    target_se: float = 0.0
     # coalition eval execution
     coalition_chunk: int = 0               # 0 = no chunking of the coalition axis
     persist_utility_table: bool = True     # resumable rounds (ref memo is RAM-only)

@@ -163,14 +163,30 @@ def serve(
             ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
         timer = StepTimer()
         with timer.span("shapley_round"):
-            sv, sv_se = call_shapley_computation_method(
-                {},
-                game,
-                logger,
-                rng=np.random.default_rng(cfg.shapley.seed + epoch),
-                stratify=cfg.shapley.cc_stratify,
-                return_se=True,
-            )
+            round_rng = np.random.default_rng(cfg.shapley.seed + epoch)
+            if cfg.shapley.target_se > 0:
+                from shapley_vit_tpu.shapley import shapley_comp_contrib_adaptive
+
+                sv, sv_se, m_used = shapley_comp_contrib_adaptive(
+                    game,
+                    cfg.shapley.target_se,
+                    rng=round_rng,
+                    stratify=cfg.shapley.cc_stratify,
+                    max_m=cfg.shapley.samples_per_client * n * 10,
+                )
+                logger.info(
+                    f"adaptive budget: {m_used} samples to reach "
+                    f"SE <= {cfg.shapley.target_se}"
+                )
+            else:
+                sv, sv_se = call_shapley_computation_method(
+                    {},
+                    game,
+                    logger,
+                    rng=round_rng,
+                    stratify=cfg.shapley.cc_stratify,
+                    return_se=True,
+                )
         artifacts = render_round_report(
             out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se
         )

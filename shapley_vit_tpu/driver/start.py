@@ -245,9 +245,24 @@ def get_initial_shapley_value(
     rng = np.random.default_rng(cfg.shapley.seed)
     with trace(cfg.obs.profile_dir, enabled=cfg.obs.profile):
         with timer.span("shapley_round"):
-            shapley_value = call_shapley_computation_method(
-                {}, game, logger, rng=rng, stratify=cfg.shapley.cc_stratify
-            )
+            if cfg.shapley.target_se > 0:
+                from shapley_vit_tpu.shapley import shapley_comp_contrib_adaptive
+
+                shapley_value, sv_se, m_used = shapley_comp_contrib_adaptive(
+                    game,
+                    cfg.shapley.target_se,
+                    rng=rng,
+                    stratify=cfg.shapley.cc_stratify,
+                    max_m=cfg.shapley.samples_per_client * n * 10,
+                )
+                logger.info(
+                    f"adaptive budget: {m_used} samples to reach "
+                    f"SE <= {cfg.shapley.target_se}; SE = {sv_se}"
+                )
+            else:
+                shapley_value = call_shapley_computation_method(
+                    {}, game, logger, rng=rng, stratify=cfg.shapley.cc_stratify
+                )
     stats = timer.summary()["shapley_round"]
     logger.info(
         f"Shapley round: {stats['total_s']:.2f}s, "

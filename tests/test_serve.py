@@ -142,3 +142,17 @@ def test_serve_survives_all_corrupt_round(cfg):
     records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
     assert len(records) == 1
     assert records[0]["epoch"] == 1
+
+
+def test_serve_adaptive_budget(cfg):
+    """cfg.shapley.target_se switches the service to the adaptive-budget
+    estimator (sample until SE target met, bounded by samples_per_client)."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    cfg.shapley.target_se = 0.5  # loose: stops at the coverage guard
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    assert len(records) == 1
+    assert len(records[0]["shapley"]) == 2
