@@ -221,3 +221,13 @@ def serve(
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1
     return records
+
+
+def main(argv=None):
+    """Console entry (``svt-serve``): continuous service with the reference
+    CLI flags + .env path contract."""
+    import sys
+
+    cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
+    cfg.paths = Config.from_env().paths
+    return serve(cfg)

@@ -302,6 +302,16 @@ def get_initial_shapley_value(
     return shapley_value_all_rounds, shapley_value_sum
 
 
+def main(argv: Optional[List[str]] = None):
+    """Console entry (``svt-shapley``): the reference's mainShapley.py
+    invocation — CLI flags + the .env path contract."""
+    import sys
+
+    cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
+    cfg.paths = Config.from_env().paths
+    return start(cfg)
+
+
 def start(cfg: Optional[Config] = None, checkpoint_paths: Optional[List[str]] = None):
     """Entry point (reference mainShapley.py → start.py:248-331)."""
     cfg = cfg or Config.from_env()

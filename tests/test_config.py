@@ -123,3 +123,18 @@ def test_mainshapley_cli_shim(tmp_path):
         capture_output=True, text=True, cwd=repo, env=env, timeout=120,
     )
     assert bad.returncode == 2
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] target must import to a callable."""
+    import importlib
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert scripts, "no console scripts declared"
+    for target in scripts.values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn))
