@@ -165,7 +165,8 @@ def shapley_monte_carlo(
     m: int,
     rng: Optional[np.random.Generator] = None,
     antithetic: bool = False,
-) -> List[Dict[int, float]]:
+    return_se: bool = False,
+):
     """Permutation Monte-Carlo (utils_shapley.py:248-269): m permutations,
     credit marginal contributions along each prefix chain.
 
@@ -178,7 +179,13 @@ def shapley_monte_carlo(
     equal budget (tools/sample_efficiency.py): ~0 on supermodular games,
     0.6x on submodular (the diminishing-returns shape FL accuracy utilities
     typically have), ~1x on additive, but 2.2x WORSE on threshold/voting
-    games — enable only when the utility is known to be smooth in |S|."""
+    games — enable only when the utility is known to be smooth in |S|.
+
+    ``return_se=True`` returns ``(sv, se)``: each permutation yields one iid
+    marginal-contribution sample per client, so the SE is the sample std /
+    √m. Under ``antithetic`` the two halves of a pair are correlated — the
+    pair MEAN is the iid unit, which is exactly what makes the antithetic
+    SE smaller when the pairing works."""
     rng = rng or np.random.default_rng()
     n = game.n
     idxs = np.array(game.selected_clients)
@@ -198,17 +205,41 @@ def shapley_monte_carlo(
 
     # phase 3: scoring (identical arithmetic to the reference loop)
     shapley_value = game.default_shapley_value
-    for perm in perms:
+    pos = {int(c): k for k, c in enumerate(idxs)}
+    marginals = np.zeros((m, game.utility_dim, n))  # per-perm samples for SE
+    for p_i, perm in enumerate(perms):
         old_u = [0.0] * game.utility_dim
         for j in range(1, n + 1):
             temp_u = game.eval_utility(perm[:j])
             for i in range(game.utility_dim):
                 shapley_value[i][perm[j - 1]] += temp_u[i] - old_u[i]
+                marginals[p_i, i, pos[int(perm[j - 1])]] = temp_u[i] - old_u[i]
                 old_u[i] = temp_u[i]
     for i in range(game.utility_dim):
         for j in idxs:
             shapley_value[i][j] /= m
-    return shapley_value
+    if not return_se:
+        return shapley_value
+    if antithetic and m >= 2:
+        # a pair's halves are correlated; the pair mean is the iid unit
+        pairs = marginals[: (m // 2) * 2].reshape(m // 2, 2, game.utility_dim, n)
+        units = list(pairs.mean(axis=1))
+        if m % 2:
+            units.append(marginals[-1])
+        units = np.stack(units)
+    else:
+        units = marginals
+    k = len(units)
+    se_arr = (
+        units.std(axis=0, ddof=1) / np.sqrt(k)
+        if k >= 2
+        else np.zeros((game.utility_dim, n))
+    )
+    se = game.default_shapley_value
+    for i in range(game.utility_dim):
+        for c in idxs:
+            se[i][int(c)] = float(se_arr[i, pos[int(c)]])
+    return shapley_value, se
 
 
 def _cc_samples(n: int, m: int, rng: np.random.Generator):

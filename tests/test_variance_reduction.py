@@ -298,3 +298,40 @@ def test_adaptive_neyman_runs():
     )
     assert _sv_array(se, n).max() <= 0.08
     assert np.isfinite(_sv_array(sv, n)).all()
+
+
+def test_mc_se_coverage_and_antithetic_collapse():
+    n = 6
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    covered = total = 0
+    for s in range(40):
+        g = TabularGame(table, n)
+        sv, se = est.shapley_monte_carlo(
+            g, 60, rng=np.random.default_rng(s), return_se=True
+        )
+        a, e = _sv_array(sv, n), _sv_array(se, n)
+        covered += int(np.sum(np.abs(a - exact) <= 2 * e))
+        total += a.size
+    assert covered / total > 0.85
+
+    # supermodular: antithetic pair means are exact -> SE ~ 0
+    sm = _supermod_table(n)
+    g = TabularGame(sm, n)
+    sv, se = est.shapley_monte_carlo(
+        g, 6, rng=np.random.default_rng(0), antithetic=True, return_se=True
+    )
+    assert _sv_array(se, n).max() < 1e-9
+
+
+def test_mc_return_se_keeps_point_estimate():
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g1 = TabularGame(additive_table(values), n_all=3)
+    sv1 = est.shapley_monte_carlo(g1, 20, rng=np.random.default_rng(3))
+    g2 = TabularGame(additive_table(values), n_all=3)
+    sv2, se = est.shapley_monte_carlo(
+        g2, 20, rng=np.random.default_rng(3), return_se=True
+    )
+    assert sv1 == sv2
+    # additive game: marginals are constant -> SE exactly 0
+    assert _sv_array(se, 3).max() < 1e-12
