@@ -107,6 +107,36 @@ def main():
                 f"{kind:10s} {name:14s} rmse={rmse:.5f} ({rel:4.2f}x of {fam} baseline) "
                 f"distinct-evals={evals:.0f}"
             )
+        # adaptive budget: stop at the fixed-budget run's achieved accuracy.
+        # Distinct-eval counts ARE the TPU cost (one vmapped validation pass
+        # per distinct coalition), so this comparison transfers exactly.
+        target = results[kind]["cc_uniform"]["rmse"]
+        errs, evals_a, ms = [], [], []
+        ex = exact_sv(table, n)
+        # fewer seeds + coarse blocks: the adaptive path re-scores all
+        # samples at each stop-check, so keep the check count low
+        for s in range(min(args.seeds, 20)):
+            g = TabularGame(table, n)
+            sv, se, m_used = est.shapley_comp_contrib_adaptive(
+                g, target_se=target, rng=np.random.default_rng(s),
+                block=10 * n, max_m=300 * n,
+            )
+            a = np.array([[sv[d][i] for i in range(n)] for d in range(2)])
+            errs.append(((a - ex) ** 2).mean())
+            evals_a.append(g.num_evaluations)
+            ms.append(m_used)
+        results[kind]["cc_adaptive"] = {
+            "rmse": round(float(np.sqrt(np.mean(errs))), 6),
+            "evals": round(float(np.mean(evals_a)), 1),
+            "m": round(float(np.mean(ms)), 1),
+            "target_se": round(target, 6),
+        }
+        r = results[kind]["cc_adaptive"]
+        print(
+            f"{kind:10s} {'cc_adaptive':14s} rmse={r['rmse']:.5f} "
+            f"(target_se={target:.4f}) distinct-evals={r['evals']:.0f} "
+            f"m={r['m']:.0f} (fixed m={m})"
+        )
     print(json.dumps({"n": n, "m": m, "seeds": args.seeds, "results": results}))
 
 
