@@ -73,6 +73,9 @@ def serve(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
+        # the full powerset is the dominant per-round batch — give it an
+        # exact shape so the hot case pays no padding (serve_profile.py)
+        shape_hints=(2**n - 1,),
     )
     import jax
 

@@ -199,6 +199,8 @@ def get_initial_shapley_value(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
+        # exact shape for the dominant full-powerset batch (no padding tax)
+        shape_hints=(2**n - 1,),
     )
     import jax
 

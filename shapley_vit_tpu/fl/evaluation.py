@@ -155,10 +155,24 @@ def _next_pow2(n: int) -> int:
     return b
 
 
+def _bucket_target(cc: int, pad_buckets: bool, coalition_chunk: int, shape_hints=()) -> int:
+    """Coalition-batch size actually compiled for a chunk of ``cc`` rows.
+    ``shape_hints`` lists exact counts that earn their own compiled shape
+    (e.g. the full powerset 2^n - 1, the dominant size in a service round)
+    so the hot case pays no padding while the compile count stays bounded."""
+    if not pad_buckets or cc in shape_hints:
+        return cc
+    target = _next_pow2(cc)
+    if coalition_chunk:
+        target = min(target, max(coalition_chunk, 1))
+    return max(target, cc)
+
+
 def make_coalition_evaluator(
     forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
     coalition_chunk: int = 0,
     pad_buckets: bool = False,
+    shape_hints=(),
 ):
     """Build the batched primitive: evaluate C coalition models in one pass.
 
@@ -187,6 +201,11 @@ def make_coalition_evaluator(
     that dwarfs the eval itself. Buckets bound the compile count to
     log2(chunk) shapes at the cost of ≤2× padded work on odd-sized chunks
     (free in practice: the padded rows ride the same vmapped pass).
+
+    ``shape_hints`` exempts exact coalition counts from padding (each earns
+    its own compiled shape). The service passes the full powerset size
+    2^n − 1 — the dominant per-round batch — which removes the measured
+    ~14% padding tax (tools/serve_profile.py) for one extra compile.
     """
     vstep = jax.vmap(
         lambda s, p, x, y: eval_step_metrics(forward_fn(s, p, x), y),
@@ -213,12 +232,7 @@ def make_coalition_evaluator(
 
         def run_chunk(params_chunk):
             cc = jax.tree.leaves(params_chunk)[0].shape[0]
-            target = cc
-            if pad_buckets:
-                target = _next_pow2(cc)
-                if coalition_chunk:
-                    target = min(target, max(coalition_chunk, 1))
-                target = max(target, cc)
+            target = _bucket_target(cc, pad_buckets, coalition_chunk, shape_hints)
             if target != cc:
                 params_chunk = jax.tree.map(
                     lambda leaf: jnp.concatenate(

@@ -186,3 +186,47 @@ def test_coalition_evaluator_chunking_equivalence(rng):
     full = ev.make_coalition_evaluator(fwd)(base, stacked_lora, data)
     chunked = ev.make_coalition_evaluator(fwd, coalition_chunk=2)(base, stacked_lora, data)
     np.testing.assert_allclose(full, chunked, atol=1e-6)
+
+
+def test_bucket_target_shape_hints():
+    from shapley_vit_tpu.fl.evaluation import _bucket_target
+
+    # plain bucketing: next pow2 capped at the chunk
+    assert _bucket_target(7, True, 16) == 8
+    assert _bucket_target(5, True, 16) == 8
+    assert _bucket_target(9, True, 8) == 9  # cap keeps >= cc
+    assert _bucket_target(7, False, 16) == 7
+    # hinted sizes compile exactly — no padding tax for the hot case
+    assert _bucket_target(7, True, 16, shape_hints=(7,)) == 7
+    assert _bucket_target(5, True, 16, shape_hints=(7,)) == 8
+    assert _bucket_target(3, True, 0, shape_hints=(3,)) == 3
+
+
+def test_evaluator_shape_hints_results_match(rng):
+    """Hinted (unpadded) and padded evaluation agree exactly."""
+    spec = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec)
+    lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)
+    deltas = [
+        jax.tree.map(
+            lambda leaf: 0.05 * jax.random.normal(jax.random.key(20 + i), leaf.shape),
+            lora0,
+        )
+        for i in range(3)
+    ]
+    stacked = tm.tree_stack(deltas)
+    coalitions = [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]]
+    W = tm.coalition_weight_matrix(coalitions, [100, 200, 700], 3)
+    stacked_lora = tm.materialize_coalitions(lora0, stacked, W)
+    images = rng.normal(size=(10, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=10)
+    data = batches_of(images, labels, 5)
+    fwd = lambda b, lora, x: jvit.vit_forward(b, lora, x, spec)
+
+    e_pad = ev.make_coalition_evaluator(fwd, coalition_chunk=8, pad_buckets=True)
+    e_hint = ev.make_coalition_evaluator(
+        fwd, coalition_chunk=8, pad_buckets=True, shape_hints=(7,)
+    )
+    out_pad = e_pad(base, stacked_lora, data, dataset_size=10)
+    out_hint = e_hint(base, stacked_lora, data, dataset_size=10)
+    np.testing.assert_allclose(out_pad, out_hint, rtol=0, atol=0)
