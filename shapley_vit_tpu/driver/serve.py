@@ -217,7 +217,7 @@ def serve(
                     spec,
                 )
         records.append(
-            dict(epoch=epoch, shapley=sv, selection=selection,
+            dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,
                  evals=game.num_evaluations)
         )

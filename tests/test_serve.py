@@ -156,3 +156,15 @@ def test_serve_adaptive_budget(cfg):
     records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
     assert len(records) == 1
     assert len(records[0]["shapley"]) == 2
+
+
+def test_serve_records_include_se(cfg):
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    se = records[0]["shapley_se"]
+    assert len(se) == 2
+    assert all(v >= 0 for d in se for v in d.values())
