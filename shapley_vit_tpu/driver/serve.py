@@ -14,6 +14,7 @@ game2.py:113-114).
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -25,7 +26,7 @@ from shapley_vit_tpu.fl import evaluation as ev
 from shapley_vit_tpu.fl import ingestion
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
-from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import get_logger
 from shapley_vit_tpu.utils.profiling import StepTimer
@@ -39,11 +40,16 @@ def serve(
     timeout: Optional[float] = None,
     policy: str = "wait",
     valid=None,
+    max_skipped_rounds: int = 10,
 ) -> List[Dict]:
     """Run Shapley rounds as checkpoint sets arrive; returns round records.
 
     ``max_rounds=None`` serves forever (the reference's blocking contract);
     tests pass a bound. ``policy``: wait | skip | fail per fl/ingestion.
+    ``max_skipped_rounds`` bounds CONSECUTIVE all-corrupt rounds: one bad
+    epoch is survivable, but a writer producing garbage every epoch would
+    otherwise spin a ``max_rounds``-bounded call forever (skipped rounds
+    append no record).
     """
     import importlib
 
@@ -73,17 +79,30 @@ def serve(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # the full powerset is the dominant per-round batch — give it an
-        # exact shape so the hot case pays no padding (serve_profile.py)
-        shape_hints=(2**n - 1,),
+        # full-powerset batches are the dominant per-round shapes — give
+        # them exact compiled shapes so the hot case pays no padding
+        # (measured +16%, serve_profile.py). One hint per participation
+        # level k <= n: stragglers shrink the round's powerset to 2^k - 1.
+        # jit compiles lazily per encountered shape, so unused hints are
+        # free; sizes beyond the chunk never reach run_chunk whole (inert).
+        shape_hints=tuple(2**k - 1 for k in range(1, n + 1)),
     )
     import jax
 
     mat = jax.jit(tm.materialize_coalitions)
+    # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
+    # dispatch each (~3.5 ms through the tunnel ⇒ measured 1.8 s/round) —
+    # one jitted program makes the advance itself negligible
+    advance = jax.jit(
+        lambda overlay, stacked_sel, ratio: tm.apply_deltas(
+            overlay, tm.aggregate_deltas(stacked_sel, ratio)
+        )
+    )
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
 
     records: List[Dict] = []
     epoch = start_epoch
+    skipped = 0
     current_overlay = init_lora
     while max_rounds is None or len(records) < max_rounds:
         paths = ingestion.default_checkpoint_paths(
@@ -101,19 +120,33 @@ def serve(
             logger.info("no checkpoints arrived; stopping")
             break
 
+        # full-round wall clock from here (post-wait): ingestion through
+        # report + overlay export — the number tools/serve_profile.py reports
+        t_round = time.time()
+        timer = StepTimer()
         # corrupt/foreign files must not kill the service: treat them as
         # not-arrived this round (the straggler machinery already handles
         # partial participation)
-        deltas, selection, sizes = ingestion.ingest_clients(
-            watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
-        )
+        with timer.span("ingest"):
+            deltas, selection, sizes = ingestion.ingest_clients(
+                watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
+            )
         if not any(selection):
             # a transient shared-disk fault can corrupt a whole epoch's
             # files; a long-running service must outlive ONE bad round, not
-            # stop on it (only "nothing arrived" above stops the loop)
+            # stop on it (only "nothing arrived" above stops the loop) —
+            # but a writer that produces garbage EVERY epoch must not spin
+            # a bounded serve() call forever
+            skipped += 1
+            if skipped > max_skipped_rounds:
+                logger.info(
+                    f"{skipped} consecutive unreadable epochs; stopping service"
+                )
+                break
             logger.info(f"no readable checkpoints for epoch {epoch}; skipping round")
             epoch += 1
             continue
+        skipped = 0
         # per-client data sizes from checkpoint metadata drive the FedAvg
         # ratios (load-bearing for SV — reference server2.py:68-81); on
         # partial metadata the round uses equal weights (see ingestion)
@@ -164,62 +197,46 @@ def serve(
                         "(round inputs changed since it was written)"
                     )
             ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
-        timer = StepTimer()
         with timer.span("shapley_round"):
-            round_rng = np.random.default_rng(cfg.shapley.seed + epoch)
-            if cfg.shapley.target_se > 0:
-                from shapley_vit_tpu.shapley import shapley_comp_contrib_adaptive
-
-                sv, sv_se, m_used = shapley_comp_contrib_adaptive(
-                    game,
-                    cfg.shapley.target_se,
-                    rng=round_rng,
-                    stratify=cfg.shapley.cc_stratify,
-                    max_m=cfg.shapley.samples_per_client * n * 10,
-                )
-                logger.info(
-                    f"adaptive budget: {m_used} samples to reach "
-                    f"SE <= {cfg.shapley.target_se}"
-                )
-            else:
-                sv, sv_se = call_shapley_computation_method(
-                    {},
-                    game,
-                    logger,
-                    rng=round_rng,
-                    stratify=cfg.shapley.cc_stratify,
-                    return_se=True,
-                )
-        artifacts = render_round_report(
-            out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se
-        )
+            sv, sv_se = run_configured_comp_contrib(
+                game, cfg.shapley,
+                rng=np.random.default_rng(cfg.shapley.seed + epoch),
+                logger=logger,
+            )
 
         # advance the global overlay by the full-coalition FedAvg and chain
         # previous_utility to the new global's absolute utility
         participating = [i for i, s in enumerate(selection) if s]
-        if participating:
-            ratio = tm.fedavg_ratio([num_local_data[i] for i in participating])
-            agg = tm.aggregate_deltas(
-                tm.tree_stack([deltas[i] for i in participating]), ratio
-            )
-            current_overlay = tm.apply_deltas(current_overlay, agg)
-            prev_utility = list(
-                ev.evaluate_model(
-                    single, (base, current_overlay), data, dataset_size=len(valid)
-                )
-            )
-            if cfg.paths.global_model_path:
-                ingestion.save_lora_checkpoint(
-                    os.path.join(
-                        cfg.paths.global_model_path, f"ViT_global_epoch_{epoch}.npz"
-                    ),
+        with timer.span("advance_global"):
+            if participating:
+                ratio = tm.fedavg_ratio([num_local_data[i] for i in participating])
+                current_overlay = advance(
                     current_overlay,
-                    spec,
+                    tm.tree_stack([deltas[i] for i in participating]),
+                    ratio,
                 )
+                prev_utility = list(
+                    ev.evaluate_model(
+                        single, (base, current_overlay), data, dataset_size=len(valid)
+                    )
+                )
+                if cfg.paths.global_model_path:
+                    ingestion.save_lora_checkpoint(
+                        os.path.join(
+                            cfg.paths.global_model_path, f"ViT_global_epoch_{epoch}.npz"
+                        ),
+                        current_overlay,
+                        spec,
+                    )
+        # rendered last so the timing CSV carries every phase above; the
+        # report's own cost shows up in the record's wall_s
+        artifacts = render_round_report(
+            out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se
+        )
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,
-                 evals=game.num_evaluations)
+                 evals=game.num_evaluations, wall_s=time.time() - t_round)
         )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1

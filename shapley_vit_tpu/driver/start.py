@@ -39,7 +39,7 @@ from shapley_vit_tpu.fl.client import EvalClient
 from shapley_vit_tpu.fl.server import EvalServer
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
-from shapley_vit_tpu.shapley import Game, call_shapley_computation_method
+from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import CSVLogger, get_logger
 
@@ -199,8 +199,9 @@ def get_initial_shapley_value(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # exact shape for the dominant full-powerset batch (no padding tax)
-        shape_hints=(2**n - 1,),
+        # exact shapes for the dominant full-powerset batches at every
+        # participation level (no padding tax; lazily compiled)
+        shape_hints=tuple(2**k - 1 for k in range(1, n + 1)),
     )
     import jax
 
@@ -247,24 +248,9 @@ def get_initial_shapley_value(
     rng = np.random.default_rng(cfg.shapley.seed)
     with trace(cfg.obs.profile_dir, enabled=cfg.obs.profile):
         with timer.span("shapley_round"):
-            if cfg.shapley.target_se > 0:
-                from shapley_vit_tpu.shapley import shapley_comp_contrib_adaptive
-
-                shapley_value, sv_se, m_used = shapley_comp_contrib_adaptive(
-                    game,
-                    cfg.shapley.target_se,
-                    rng=rng,
-                    stratify=cfg.shapley.cc_stratify,
-                    max_m=cfg.shapley.samples_per_client * n * 10,
-                )
-                logger.info(
-                    f"adaptive budget: {m_used} samples to reach "
-                    f"SE <= {cfg.shapley.target_se}; SE = {sv_se}"
-                )
-            else:
-                shapley_value = call_shapley_computation_method(
-                    {}, game, logger, rng=rng, stratify=cfg.shapley.cc_stratify
-                )
+            shapley_value, _sv_se = run_configured_comp_contrib(
+                game, cfg.shapley, rng=rng, logger=logger
+            )
     stats = timer.summary()["shapley_round"]
     logger.info(
         f"Shapley round: {stats['total_s']:.2f}s, "

@@ -172,12 +172,7 @@ def checkpointed_game(
     counter = {"n": 0}
 
     def precompute(coalitions):
-        todo, seen = [], set()
-        for coalition in coalitions:
-            key = frozenset(coalition)
-            if key and key not in game.utility and key not in seen:
-                seen.add(key)
-                todo.append(sorted(key))
+        todo = game.pending(coalitions)
         for i in range(0, len(todo), max(1, block)):
             orig_precompute(todo[i : i + max(1, block)])
             counter["n"] += 1

@@ -65,6 +65,12 @@ def save_lora_checkpoint(
     tooling); .npz native, .pth.tar via torch if requested.
     ``num_local_data_train`` (the client's local training-set size) is stored
     as checkpoint metadata and recovered by :func:`ingest_clients`."""
+    import jax
+
+    # one batched D2H fetch: the converter's per-leaf np.asarray would issue
+    # ~50 separate device transfers (measured 1.5 s/export through the
+    # tunnel vs ~0.1 s batched)
+    lora_tree = jax.device_get(lora_tree)
     sd = convert.tree_to_peft_lora(lora_tree, spec)
     meta: Dict[str, Any] = {}
     if num_local_data_train is not None:

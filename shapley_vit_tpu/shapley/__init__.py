@@ -8,6 +8,7 @@ ones, then do the scoring arithmetic on the host.
 from shapley_vit_tpu.shapley.game import Game, TabularGame  # noqa: F401
 from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     call_shapley_computation_method,
+    run_configured_comp_contrib,
     powerset,
     ncr,
     shapley_exact,

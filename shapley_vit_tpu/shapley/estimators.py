@@ -483,11 +483,18 @@ def shapley_comp_contrib_adaptive(
     max_m = max_m or 500 * n
 
     samples = []
+    covered = False
     while True:
         want = min(block, max_m - len(samples))
         if stratify == "uniform" or n == 1:
             new = _cc_samples(n, want, rng)
-        elif stratify == "balanced" or not samples:
+        elif stratify == "balanced" or not covered:
+            # coverage first: the neyman allocator assigns ZERO samples to
+            # zero-variance strata (e.g. stratum n, whose only contributor
+            # u(N) − u(∅) is constant), so pure neyman blocks can never
+            # finish covering the cells — measured: it burned the full
+            # max_m budget at any n >= 4. Balanced blocks until covered,
+            # variance-optimal blocks after.
             new = _cc_samples_at(n, _balanced_split_points(n, want, rng), rng)
         else:  # neyman: all samples so far are the pilot
             js = _neyman_extra_split_points(game, samples, want, n, rng)
@@ -500,13 +507,38 @@ def shapley_comp_contrib_adaptive(
         # lower bound early on (a 20-sample n=5 run measured SE 0.05 vs a
         # true error of 0.25) — only trust it once every reachable
         # (stratum, client) cell has >= 3 samples
-        covered = _cc_cell_counts(samples, n).min() >= 3
+        covered = bool(_cc_cell_counts(samples, n).min() >= 3)
         if (worst <= target_se and covered) or len(samples) >= max_m:
             break
     return (
         _merge_with_default(game, sv),
         _merge_with_default(game, se),
         len(samples),
+    )
+
+
+def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
+    """One dispatch point for the drivers (serve/start): adaptive budget
+    when ``shapley_cfg.target_se > 0``, else the reference's fixed m = 50·n
+    entry. Returns ``(sv, se)``. ``max_m`` is bounded by
+    ``samples_per_client · game.n · 10`` — ``game.n`` counts SELECTED
+    clients, so partial-participation rounds don't over-budget."""
+    if getattr(shapley_cfg, "target_se", 0.0) > 0:
+        sv, se, m_used = shapley_comp_contrib_adaptive(
+            game,
+            shapley_cfg.target_se,
+            rng=rng,
+            stratify=shapley_cfg.cc_stratify,
+            max_m=shapley_cfg.samples_per_client * game.n * 10,
+        )
+        msg = (
+            f"adaptive budget: {m_used} samples to reach "
+            f"SE <= {shapley_cfg.target_se}"
+        )
+        (logger.info if logger is not None else print)(msg)
+        return sv, se
+    return call_shapley_computation_method(
+        {}, game, logger, rng=rng, stratify=shapley_cfg.cc_stratify, return_se=True
     )
 
 

@@ -89,25 +89,34 @@ class Game:
 
     # -- evaluation ---------------------------------------------------------
 
-    def precompute(self, coalitions: Sequence[Sequence[int]]) -> None:
-        """Batch-evaluate all not-yet-cached coalitions in ONE call to the
-        injected evaluator, then fill the memo. This is where the TPU win
-        happens: C coalition models in one vmapped validation pass."""
-        todo: List[FrozenSet[int]] = []
+    def pending(self, coalitions: Sequence[Sequence[int]]) -> List[List[int]]:
+        """Distinct, not-yet-memoized coalitions (sorted member lists, in
+        first-seen order) — exactly the work :meth:`precompute` would
+        evaluate. Exposed so wrappers (e.g. block-wise persistence in
+        fl/checkpoint.checkpointed_game) split work without re-implementing
+        the memo filter."""
+        todo: List[List[int]] = []
         seen = set()
         for coalition in coalitions:
             key = frozenset(coalition)
             if key and key not in self.utility and key not in seen:
                 seen.add(key)
-                todo.append(key)
+                todo.append(sorted(key))
+        return todo
+
+    def precompute(self, coalitions: Sequence[Sequence[int]]) -> None:
+        """Batch-evaluate all not-yet-cached coalitions in ONE call to the
+        injected evaluator, then fill the memo. This is where the TPU win
+        happens: C coalition models in one vmapped validation pass."""
+        todo = self.pending(coalitions)
         if not todo:
             return
-        W = np.stack([self._weight_row(sorted(key)) for key in todo])
+        W = np.stack([self._weight_row(members) for members in todo])
         results = np.asarray(self.eval_coalitions_fn(W))  # [C, dim] absolute
         assert results.shape == (len(todo), self.utility_dim)
         self.num_evaluations += len(todo)
-        for key, row in zip(todo, results):
-            self.utility[key] = [
+        for members, row in zip(todo, results):
+            self.utility[frozenset(members)] = [
                 float(row[i]) - self.previous_utility[i]
                 for i in range(self.utility_dim)
             ]

@@ -168,3 +168,25 @@ def test_serve_records_include_se(cfg):
     se = records[0]["shapley_se"]
     assert len(se) == 2
     assert all(v >= 0 for d in se for v in d.values())
+
+
+def test_serve_bounds_consecutive_corrupt_rounds(cfg):
+    """Regression: every epoch corrupt -> bounded stop, not an infinite
+    skip loop."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    for epoch in range(4):
+        for i in range(3):
+            p = os.path.join(
+                cfg.paths.local_model_path, f"client_{i + 1}_model",
+                f"ViT_epoch_{epoch}.pth.tar",
+            )
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(b"garbage")
+    records = serve(
+        cfg, max_rounds=1, timeout=1.0, policy="fail", max_skipped_rounds=2
+    )
+    assert records == []

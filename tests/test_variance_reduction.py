@@ -335,3 +335,17 @@ def test_mc_return_se_keeps_point_estimate():
     assert sv1 == sv2
     # additive game: marginals are constant -> SE exactly 0
     assert _sv_array(se, 3).max() < 1e-12
+
+
+def test_adaptive_neyman_terminates_early():
+    """Regression: pure neyman blocks assign zero samples to zero-variance
+    strata (stratum n), so coverage never completed and the loop burned the
+    whole max_m budget at any n >= 4. Balanced blocks until covered fixes
+    it."""
+    n = 5
+    vals = np.abs(np.random.default_rng(1).normal(0.3, 0.1, (n, 2)))
+    g = TabularGame(additive_table(vals), n_all=n)
+    _, _, m = est.shapley_comp_contrib_adaptive(
+        g, target_se=0.05, rng=np.random.default_rng(0), stratify="neyman"
+    )
+    assert m < 500 * n / 2  # was == max_m (2500) before the fix

@@ -103,11 +103,12 @@ def main():
         set(r["epoch"] for r in records)
     ), "duplicate rounds"
 
-    out = []
-    for r in records:
-        out.append({"epoch": r["epoch"], "evals": r["evals"]})
-    # per-round wall-clock from the CSV timing artifacts
-    times = []
+    # two honest numbers: the estimator span (eval path only) and the FULL
+    # round wall (ingestion -> eval -> report -> overlay export, from
+    # serve()'s per-record wall_s) — the earlier span-only metric overstated
+    # serving throughput by exactly the overheads this tool exists to show
+    span_times = []
+    phases = {}
     for r in records:
         tpath = os.path.join(cfg.output_dir, f"timing_r{r['epoch']}.csv")
         if os.path.exists(tpath):
@@ -115,16 +116,24 @@ def main():
 
             with open(tpath) as f:
                 for row in csv.DictReader(f):
+                    phases.setdefault(row["span"], []).append(float(row["total_s"]))
                     if row["span"] == "shapley_round":
-                        times.append(float(row["total_s"]))
-    steady = times[1:] or times
-    evals = [r["evals"] for r in records][1:] or [r["evals"] for r in records]
-    eps = sum(evals) / sum(steady) if steady and sum(steady) > 0 else float("nan")
+                        span_times.append(float(row["total_s"]))
+    full_times = [r["wall_s"] for r in records]
+
+    def steady_eps(times):
+        steady = times[1:] or times
+        evals = [r["evals"] for r in records][1:] or [r["evals"] for r in records]
+        return sum(evals) / sum(steady) if steady and sum(steady) > 0 else float("nan")
+
     print(json.dumps({
         "rounds": len(records),
         "total_wall_s": round(total, 1),
-        "shapley_round_s": [round(t, 2) for t in times],
-        "steady_state_evals_per_s": round(eps, 3),
+        "shapley_round_s": [round(t, 2) for t in span_times],
+        "full_round_s": [round(t, 2) for t in full_times],
+        "steady_state_evals_per_s_eval_span": round(steady_eps(span_times), 3),
+        "steady_state_evals_per_s_full_round": round(steady_eps(full_times), 3),
+        "phase_s": {k: [round(t, 2) for t in v] for k, v in sorted(phases.items())},
         "quant": cfg.model.quant,
         "val_size": args.val_size,
         "artifacts": tmp,
