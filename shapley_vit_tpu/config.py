@@ -167,6 +167,10 @@ class ObservabilityConfig:
     debug: bool = False
     profile: bool = False                  # jax.profiler trace per Shapley round
     profile_dir: str = "exp/profile"
+    # per-round PNG rendering costs ~0.55 s/round (matplotlib) — the largest
+    # non-eval cost of a steady-state serve round (tools/serve_profile.py);
+    # CSV artifacts are always written
+    render_plots: bool = True
 
 
 @dataclass

@@ -110,8 +110,12 @@ def render_round_report(
     round_idx: int = 0,
     timer=None,
     se: Optional[Sequence[Dict[int, float]]] = None,
+    render_plots: bool = True,
 ) -> List[str]:
-    """One call per round; returns created artifact paths."""
+    """One call per round; returns created artifact paths.
+    ``render_plots=False`` skips the PNG (matplotlib costs ~0.55 s/round —
+    the largest non-eval cost of a steady-state serve round); CSVs are
+    always written."""
     paths = []
     p = os.path.join(out_dir, "shapley_round.csv")
     write_shapley_csv(p, shapley_value, round_idx)
@@ -120,11 +124,12 @@ def render_round_report(
         p = os.path.join(out_dir, f"utility_table_r{round_idx}.csv")
         write_utility_table_csv(p, game.utility, game.utility_dim)
         paths.append(p)
-    p = os.path.join(out_dir, f"sv_bar_r{round_idx}.png")
-    plot_shapley_bar(
-        shapley_value, p, title=f"Shapley values — round {round_idx}", se=se
-    )
-    paths.append(p)
+    if render_plots:
+        p = os.path.join(out_dir, f"sv_bar_r{round_idx}.png")
+        plot_shapley_bar(
+            shapley_value, p, title=f"Shapley values — round {round_idx}", se=se
+        )
+        paths.append(p)
     if timer is not None:
         p = os.path.join(out_dir, f"timing_r{round_idx}.csv")
         with open(p, "w", newline="") as f:

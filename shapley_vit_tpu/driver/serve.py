@@ -231,7 +231,8 @@ def serve(
         # rendered last so the timing CSV carries every phase above; the
         # report's own cost shows up in the record's wall_s
         artifacts = render_round_report(
-            out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se
+            out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se,
+            render_plots=cfg.obs.render_plots,
         )
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,

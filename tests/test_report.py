@@ -50,3 +50,12 @@ def test_sv_bar_with_error_bars(tmp_path):
     assert os.path.getsize(p) > 0
     paths = report.render_round_report(str(tmp_path), sv, se=se, round_idx=3)
     assert any(p.endswith("sv_bar_r3.png") for p in paths)
+
+
+def test_render_round_report_without_plots(tmp_path):
+    sv = [{0: 0.2, 1: -0.1}, {0: 1.0, 1: 0.4}]
+    paths = report.render_round_report(
+        str(tmp_path), sv, round_idx=5, render_plots=False
+    )
+    assert not any(p.endswith(".png") for p in paths)
+    assert os.path.exists(os.path.join(str(tmp_path), "shapley_round.csv"))
