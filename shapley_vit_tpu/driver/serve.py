@@ -40,16 +40,18 @@ def serve(
     timeout: Optional[float] = None,
     policy: str = "wait",
     valid=None,
-    max_skipped_rounds: int = 10,
+    max_skipped_rounds: Optional[int] = 10,
 ) -> List[Dict]:
     """Run Shapley rounds as checkpoint sets arrive; returns round records.
 
     ``max_rounds=None`` serves forever (the reference's blocking contract);
     tests pass a bound. ``policy``: wait | skip | fail per fl/ingestion.
-    ``max_skipped_rounds`` bounds CONSECUTIVE all-corrupt rounds: one bad
-    epoch is survivable, but a writer producing garbage every epoch would
-    otherwise spin a ``max_rounds``-bounded call forever (skipped rounds
-    append no record).
+    ``max_skipped_rounds`` bounds CONSECUTIVE all-corrupt rounds, but ONLY
+    for ``max_rounds``-bounded calls (skipped rounds append no record, so a
+    garbage-producing writer would otherwise spin a bounded call forever).
+    The unbounded production service keeps skipping and recovers when good
+    checkpoints resume — silently dying after N bad epochs would be worse
+    than the spin. ``None`` disables the bound everywhere.
     """
     import importlib
 
@@ -79,13 +81,9 @@ def serve(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # full-powerset batches are the dominant per-round shapes — give
-        # them exact compiled shapes so the hot case pays no padding
-        # (measured +16%, serve_profile.py). One hint per participation
-        # level k <= n: stragglers shrink the round's powerset to 2^k - 1.
-        # jit compiles lazily per encountered shape, so unused hints are
-        # free; sizes beyond the chunk never reach run_chunk whole (inert).
-        shape_hints=tuple(2**k - 1 for k in range(1, n + 1)),
+        # no padding tax on the dominant full-powerset batches (+16%
+        # measured, serve_profile.py)
+        shape_hints=ev.powerset_shape_hints(n),
     )
     import jax
 
@@ -138,7 +136,11 @@ def serve(
             # but a writer that produces garbage EVERY epoch must not spin
             # a bounded serve() call forever
             skipped += 1
-            if skipped > max_skipped_rounds:
+            if (
+                max_rounds is not None
+                and max_skipped_rounds is not None
+                and skipped > max_skipped_rounds
+            ):
                 logger.info(
                     f"{skipped} consecutive unreadable epochs; stopping service"
                 )

@@ -199,9 +199,8 @@ def get_initial_shapley_value(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # exact shapes for the dominant full-powerset batches at every
-        # participation level (no padding tax; lazily compiled)
-        shape_hints=tuple(2**k - 1 for k in range(1, n + 1)),
+        # no padding tax on the dominant full-powerset batches
+        shape_hints=ev.powerset_shape_hints(n),
     )
     import jax
 

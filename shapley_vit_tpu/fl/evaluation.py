@@ -155,6 +155,14 @@ def _next_pow2(n: int) -> int:
     return b
 
 
+def powerset_shape_hints(n: int):
+    """Shape hints for a service valuing up to ``n`` clients: one exact
+    compiled shape per participation level's full powerset (2^k − 1 — the
+    dominant per-round coalition batch; stragglers shrink k). Hints compile
+    lazily, so unused levels are free."""
+    return tuple(2**k - 1 for k in range(1, n + 1))
+
+
 def _bucket_target(cc: int, pad_buckets: bool, coalition_chunk: int, shape_hints=()) -> int:
     """Coalition-batch size actually compiled for a chunk of ``cc`` rows.
     ``shape_hints`` lists exact counts that earn their own compiled shape

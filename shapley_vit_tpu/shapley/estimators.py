@@ -531,9 +531,10 @@ def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
             stratify=shapley_cfg.cc_stratify,
             max_m=shapley_cfg.samples_per_client * game.n * 10,
         )
+        se_view = [{k: round(v, 6) for k, v in d.items()} for d in se]
         msg = (
             f"adaptive budget: {m_used} samples to reach "
-            f"SE <= {shapley_cfg.target_se}"
+            f"SE <= {shapley_cfg.target_se}; SE = {se_view}"
         )
         (logger.info if logger is not None else print)(msg)
         return sv, se

@@ -190,3 +190,27 @@ def test_serve_bounds_consecutive_corrupt_rounds(cfg):
         cfg, max_rounds=1, timeout=1.0, policy="fail", max_skipped_rounds=2
     )
     assert records == []
+
+
+def test_unbounded_serve_outlives_corrupt_streak(cfg):
+    """Regression: the consecutive-skip bound must NOT kill the unbounded
+    production service — it skips and recovers when good checkpoints
+    resume (the bound only protects max_rounds-bounded calls)."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    for i in range(3):
+        p = os.path.join(
+            cfg.paths.local_model_path, f"client_{i + 1}_model",
+            "ViT_epoch_0.pth.tar",
+        )
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    write_epoch(cfg, spec, init_lora, epoch=1)
+    # epoch 2 never arrives -> the timeout ends the unbounded service
+    records = serve(
+        cfg, max_rounds=None, timeout=1.0, policy="fail", max_skipped_rounds=0
+    )
+    assert len(records) == 1 and records[0]["epoch"] == 1

@@ -116,23 +116,29 @@ def main():
 
             with open(tpath) as f:
                 for row in csv.DictReader(f):
+                    if not row.get("total_s"):
+                        continue  # counter-only spans have no wall time
                     phases.setdefault(row["span"], []).append(float(row["total_s"]))
                     if row["span"] == "shapley_round":
                         span_times.append(float(row["total_s"]))
     full_times = [r["wall_s"] for r in records]
 
     def steady_eps(times):
-        steady = times[1:] or times
-        evals = [r["evals"] for r in records][1:] or [r["evals"] for r in records]
-        return sum(evals) / sum(steady) if steady and sum(steady) > 0 else float("nan")
+        # round 0 pays the compiles; "steady state" needs >= 2 rounds —
+        # reporting the warm-up round under this key would be 10x wrong
+        steady = times[1:]
+        evals = [r["evals"] for r in records][1:]
+        if not steady or sum(steady) <= 0:
+            return None
+        return round(sum(evals) / sum(steady), 3)
 
     print(json.dumps({
         "rounds": len(records),
         "total_wall_s": round(total, 1),
         "shapley_round_s": [round(t, 2) for t in span_times],
         "full_round_s": [round(t, 2) for t in full_times],
-        "steady_state_evals_per_s_eval_span": round(steady_eps(span_times), 3),
-        "steady_state_evals_per_s_full_round": round(steady_eps(full_times), 3),
+        "steady_state_evals_per_s_eval_span": steady_eps(span_times),
+        "steady_state_evals_per_s_full_round": steady_eps(full_times),
         "phase_s": {k: [round(t, 2) for t in v] for k, v in sorted(phases.items())},
         "quant": cfg.model.quant,
         "val_size": args.val_size,
