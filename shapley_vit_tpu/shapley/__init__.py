@@ -16,6 +16,7 @@ from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     shapley_monte_carlo,
     shapley_comp_contrib,
     shapley_comp_contrib_adaptive,
+    shapley_owen,
     split_permutation,
     split_permutation_num,
     split_num,

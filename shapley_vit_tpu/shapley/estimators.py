@@ -517,6 +517,56 @@ def shapley_comp_contrib_adaptive(
     )
 
 
+def shapley_owen(
+    game: Game,
+    q_num: int = 8,
+    m_per_q: int = 4,
+    rng: Optional[np.random.Generator] = None,
+) -> List[Dict[int, float]]:
+    """Owen / multilinear-extension sampling (beyond reference; Okhrati &
+    Lipani 2020): φ_i = ∫₀¹ E[v(S_q ∪ i) − v(S_q ∖ i)] dq, with S_q
+    including every client independently with probability q.
+
+    Midpoint rule over ``q_num`` levels; at each level draw ``m_per_q``
+    membership vectors S and evaluate S plus its n single-client flips —
+    every draw yields ALL n marginals from n+1 coalitions, and all distinct
+    coalitions go through ONE batched ``game.precompute``. Complements the
+    permutation samplers when utility varies most at specific coalition
+    densities (q near the voting quota, say) rather than specific sizes."""
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+
+    qs = (np.arange(q_num) + 0.5) / q_num
+    draws = []  # (membership bool vector over selected clients)
+    for q in qs:
+        for _ in range(m_per_q):
+            draws.append(rng.random(n) < q)
+
+    coalitions = []
+    for mem in draws:
+        coalitions.append(selected[mem])
+        for i in range(n):
+            flipped = mem.copy()
+            flipped[i] = ~flipped[i]
+            coalitions.append(selected[flipped])
+    game.precompute(coalitions)
+
+    sv_arr = [np.zeros(n) for _ in range(game.utility_dim)]
+    for mem in draws:
+        u_s = game.eval_utility(selected[mem])
+        for i in range(n):
+            flipped = mem.copy()
+            flipped[i] = ~flipped[i]
+            u_f = game.eval_utility(selected[flipped])
+            sign = -1.0 if mem[i] else 1.0  # marginal of ADDING client i
+            for d in range(game.utility_dim):
+                sv_arr[d][i] += sign * (u_f[d] - u_s[d])
+    for d in range(game.utility_dim):
+        sv_arr[d] /= len(draws)
+    return _merge_with_default(game, sv_arr)
+
+
 def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
     """One dispatch point for the drivers (serve/start): adaptive budget
     when ``shapley_cfg.target_se > 0``, else the reference's fixed m = 50·n

@@ -169,3 +169,42 @@ def test_helper_parity_with_reference():
     np.testing.assert_array_equal(split_permutation_num(7, 3), [2, 2, 3])
     out = split_num([7, 4], 3, rng=np.random.default_rng(0))
     assert out.shape == (3, 2) and out[:, 0].sum() == 7 and out[:, 1].sum() == 4
+
+
+def test_owen_recovers_additive_game():
+    """Owen sampling: additive games give zero-variance marginals, so even
+    a tiny budget recovers the exact SVs."""
+    from shapley_vit_tpu.shapley import shapley_owen
+
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    game = TabularGame(additive_table(values), n_all=3)
+    sv = shapley_owen(game, q_num=4, m_per_q=2, rng=np.random.default_rng(0))
+    got = np.array([[sv[d][i] for i in range(3)] for d in range(2)])
+    np.testing.assert_allclose(got, values.T, atol=1e-9)
+    # every draw evaluates S + n flips, all memoized: bounded by powerset
+    assert game.num_evaluations <= 7
+
+
+def test_owen_converges_on_general_game():
+    from itertools import combinations
+
+    from shapley_vit_tpu.shapley import shapley_exact, shapley_owen
+
+    rng = np.random.default_rng(3)
+    n = 5
+    w = rng.uniform(0.5, 2.0, n)
+    quota = w.sum() * 0.5
+    table = {}
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            vote = 1.0 if w[list(c)].sum() > quota else 0.0
+            table[frozenset(c)] = np.array([vote, 0.3 * vote])
+    exact = shapley_exact(TabularGame(table, n_all=n))
+    acc = np.zeros((2, n))
+    K = 40
+    for s in range(K):
+        g = TabularGame(table, n_all=n)
+        sv = shapley_owen(g, q_num=8, m_per_q=6, rng=np.random.default_rng(s))
+        acc += np.array([[sv[d][i] for i in range(n)] for d in range(2)])
+    ex = np.array([[exact[d][i] for i in range(n)] for d in range(2)])
+    assert np.abs(acc / K - ex).max() < 0.05
