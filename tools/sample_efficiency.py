@@ -89,6 +89,11 @@ def main():
         "mc_antithetic": lambda g, r: est.shapley_monte_carlo(
             g, m // n * 2, rng=r, antithetic=True
         ),
+        # eval-budget-matched: each cc sample costs 2 evals, each owen draw
+        # n+1 — draws = 2m/(n+1) submits the same raw eval count
+        "owen": lambda g, r: est.shapley_owen(
+            g, q_num=8, m_per_q=max(1, round(2 * m / (n + 1) / 8)), rng=r
+        ),
     }
 
     results = {}
@@ -100,7 +105,7 @@ def main():
             rmse, evals = run_variant(table, n, m, args.seeds, fn)
             results[kind][name] = {"rmse": round(rmse, 6), "evals": round(evals, 1)}
             fam = name.split("_")[0]
-            if name in ("cc_uniform", "mc_plain"):
+            if name in ("cc_uniform", "mc_plain") or fam not in base:
                 base[fam] = rmse
             rel = rmse / base[fam]
             print(
