@@ -47,7 +47,7 @@ def main():
     # lower only because untrained logits cluster, BENCH_NOTES.md)
     spec = jvit.make_spec(
         "base", num_classes=4, dtype="bfloat16", gelu="tanh",
-        quant="int8", quant_targets=("q", "k", "v", "fc1"),
+        quant="int8", quant_targets=jvit.INT8_TARGETS,
     )
     base = jvit.init_vit(jax.random.key(0), spec)
     lora0 = jvit.init_lora(jax.random.key(1), spec, classifier_from=base)

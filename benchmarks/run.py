@@ -134,7 +134,7 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     # 'highest' (the SV parity bar); int8 carries the same trained-model
     # argmax-agreement contract as bench.py (tools/quant_agreement.py)
     eval_spec = (
-        spec.replace(quant="int8", quant_targets=("q", "k", "v", "fc1"))
+        spec.replace(quant="int8", quant_targets=jvit.INT8_TARGETS)
         if cfg.get("quant")
         else spec
     )

@@ -79,7 +79,7 @@ def build_model(cfg: Config, key=None):
         quant=cfg.model.quant,
         # the measured-best int8 target set (tools/quant_ablation.py: fc2/
         # out/patch quantization costs more than its int8 gain)
-        quant_targets=("q", "k", "v", "fc1"),
+        quant_targets=jvit.INT8_TARGETS,
     )
     k1, k2 = jax.random.split(key)
     base = jvit.init_vit(k1, spec)

@@ -69,6 +69,9 @@ class ViTSpec:
     # which dense matmuls quantize under quant='int8' (accuracy/speed knob;
     # fc2's post-GELU activations are the usual outlier source)
     quant_targets: tuple = ("patch", "q", "k", "v", "out", "fc1", "fc2")
+    # the measured-best production target set is INT8_TARGETS (module
+    # constant below): quantizing fc2/out/patch costs more than their int8
+    # gain on v5e (tools/quant_ablation.py, tools/full_delta_profile.py)
     # rematerialize each scanned block on the backward pass
     # (jax.checkpoint): activation memory drops from O(L·intermediates) to
     # O(L·residual + one block) — required for full-model (non-LoRA)
@@ -105,6 +108,12 @@ VIT_VARIANTS = {
     # micro: CI-sized fixture for fast tests
     "micro": dict(hidden=32, depth=2, heads=2, mlp_dim=64, patch=4, image=16),
 }
+
+
+# measured-best int8 target set on v5e (BENCH_NOTES.md round 2): q/k/v/fc1
+# only — the single source of truth for bench.py, benchmarks, tools and the
+# drivers
+INT8_TARGETS = ("q", "k", "v", "fc1")
 
 
 def make_spec(variant: str = "base", **overrides) -> ViTSpec:

@@ -64,7 +64,7 @@ def main():
     spec = jvit.make_spec(
         "base", num_classes=4, dtype="bfloat16", gelu="tanh",
         quant="none" if args.no_quant else "int8",
-        quant_targets=("q", "k", "v", "fc1"),
+        quant_targets=jvit.INT8_TARGETS,
     )
     init_lora = jvit.init_lora(jax.random.key(1), spec)
 
