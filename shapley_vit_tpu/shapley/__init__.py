@@ -17,6 +17,7 @@ from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     shapley_comp_contrib,
     shapley_comp_contrib_adaptive,
     shapley_owen,
+    shapley_kernel,
     split_permutation,
     split_permutation_num,
     split_num,

@@ -567,6 +567,74 @@ def shapley_owen(
     return _merge_with_default(game, sv_arr)
 
 
+def shapley_kernel(
+    game: Game,
+    m: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> List[Dict[int, float]]:
+    """KernelSHAP (beyond reference; Lundberg & Lee 2017): constrained
+    weighted least squares over coalition values with the Shapley kernel
+    w(|S|) = (n−1)/(C(n,|S|)·|S|·(n−|S|)), efficiency enforced exactly
+    (Σφ = v(N), v(∅) = 0 in this game's delta-utility convention).
+
+    ``m=None`` enumerates every proper coalition — the WLS solution then
+    equals the exact Shapley value; sampled mode draws ``m`` coalitions
+    from the kernel-weighted size distribution (each size's members
+    uniform) and solves the same regression with uniform weights (the
+    kernel is absorbed into the sampling). All coalition values come from
+    ONE batched ``game.precompute``."""
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+    if n == 1:
+        u = game.eval_utility(selected)
+        return _merge_with_default(
+            game, [np.array([u[d]]) for d in range(game.utility_dim)]
+        )
+
+    sizes = np.arange(1, n)
+    kernel_by_size = (n - 1) / (
+        np.array([ncr(n, int(k)) for k in sizes]) * sizes * (n - sizes)
+    )
+
+    if m is None:
+        if n > 14:
+            raise ValueError("full KernelSHAP enumeration needs n <= 14; pass m")
+        subsets = [list(c) for r in sizes for c in combinations(range(n), int(r))]
+        weights = np.array([kernel_by_size[len(s) - 1] for s in subsets])
+    else:
+        size_p = (kernel_by_size * np.array([ncr(n, int(k)) for k in sizes]))
+        size_p = size_p / size_p.sum()
+        subsets = []
+        for _ in range(m):
+            k = int(rng.choice(sizes, p=size_p))
+            subsets.append(sorted(rng.choice(n, size=k, replace=False).tolist()))
+        weights = np.ones(len(subsets))
+
+    full = list(range(n))
+    game.precompute([selected[s] for s in subsets] + [selected[full]])
+
+    Z = np.zeros((len(subsets), n))
+    for r, s in enumerate(subsets):
+        Z[r, s] = 1.0
+    v_full = np.array(game.eval_utility(selected[full]))  # [dim]
+    Y = np.array([game.eval_utility(selected[s]) for s in subsets])  # [m, dim]
+
+    W = np.diag(weights)
+    A = Z.T @ W @ Z
+    # ridge for sampled mode (A can be singular when m < n or draws repeat)
+    A = A + 1e-10 * np.eye(n)
+    Ainv = np.linalg.inv(A)
+    ones = np.ones(n)
+    sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    for d in range(game.utility_dim):
+        b = Z.T @ (weights * Y[:, d])
+        unconstrained = Ainv @ b
+        lam = (ones @ unconstrained - v_full[d]) / (ones @ Ainv @ ones)
+        sv[d] = unconstrained - lam * (Ainv @ ones)
+    return _merge_with_default(game, sv)
+
+
 def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
     """One dispatch point for the drivers (serve/start): adaptive budget
     when ``shapley_cfg.target_se > 0``, else the reference's fixed m = 50·n

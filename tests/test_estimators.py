@@ -208,3 +208,42 @@ def test_owen_converges_on_general_game():
         acc += np.array([[sv[d][i] for i in range(n)] for d in range(2)])
     ex = np.array([[exact[d][i] for i in range(n)] for d in range(2)])
     assert np.abs(acc / K - ex).max() < 0.05
+
+
+def test_kernel_shap_full_enumeration_is_exact():
+    """The Shapley-kernel WLS over ALL proper coalitions equals the exact
+    SV (the defining property of KernelSHAP)."""
+    from itertools import combinations
+
+    from shapley_vit_tpu.shapley import shapley_exact, shapley_kernel
+
+    rng = np.random.default_rng(0)
+    n = 5
+    w = rng.uniform(0.5, 2.0, n)
+    quota = w.sum() * 0.5
+    table = {}
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            vote = 1.0 if w[list(c)].sum() > quota else 0.0
+            table[frozenset(c)] = np.array([vote + 0.1 * len(c), 0.3 * vote])
+    exact = shapley_exact(TabularGame(table, n_all=n))
+    ks = shapley_kernel(TabularGame(table, n_all=n))
+    for d in range(2):
+        for i in range(n):
+            assert abs(ks[d][i] - exact[d][i]) < 1e-8
+
+
+def test_kernel_shap_sampled_and_edges():
+    from shapley_vit_tpu.shapley import shapley_kernel
+
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g = TabularGame(additive_table(values), n_all=3)
+    ks = shapley_kernel(g, m=400, rng=np.random.default_rng(0))
+    got = np.array([[ks[d][i] for i in range(3)] for d in range(2)])
+    assert np.abs(got - values.T).max() < 0.05
+    # single-client game: the whole value goes to the one client
+    g1 = TabularGame({frozenset({0}): [0.7, -0.1]}, n_all=1)
+    ks1 = shapley_kernel(g1)
+    assert ks1[0][0] == pytest.approx(0.7) and ks1[1][0] == pytest.approx(-0.1)
+    with pytest.raises(ValueError):
+        shapley_kernel(TabularGame(additive_table(np.zeros((15, 2))), n_all=15))
