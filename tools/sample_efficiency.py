@@ -94,6 +94,8 @@ def main():
         "owen": lambda g, r: est.shapley_owen(
             g, q_num=8, m_per_q=max(1, round(2 * m / (n + 1) / 8)), rng=r
         ),
+        # kernel draws cost <= 1 eval each; 2m draws matches cc's raw budget
+        "kernel": lambda g, r: est.shapley_kernel(g, m=2 * m, rng=r),
     }
 
     results = {}
