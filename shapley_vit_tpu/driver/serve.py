@@ -41,6 +41,7 @@ def serve(
     policy: str = "wait",
     valid=None,
     max_skipped_rounds: Optional[int] = 10,
+    prewarm: bool = True,
 ) -> List[Dict]:
     """Run Shapley rounds as checkpoint sets arrive; returns round records.
 
@@ -52,6 +53,12 @@ def serve(
     The unbounded production service keeps skipping and recovers when good
     checkpoints resume — silently dying after N bad epochs would be worse
     than the spin. ``None`` disables the bound everywhere.
+
+    ``prewarm`` compiles the full-powerset coalition-eval shape at bring-up
+    (zero deltas, one validation batch), BEFORE blocking on the first
+    epoch's checkpoints — the round-1 compile cost moves into service
+    startup where nothing is waiting on it, so "checkpoint arrival → SV"
+    runs at steady-state latency from the first round.
     """
     import importlib
 
@@ -97,6 +104,18 @@ def serve(
         )
     )
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
+
+    if prewarm:
+        # compile the dominant round shape now (C = 2^n - 1 coalition models
+        # over one validation batch) instead of inside the first round
+        t0 = time.time()
+        C = 2**n - 1
+        zero_stack = tm.tree_stack([tm.tree_zeros_like(init_lora)] * n)
+        W0 = np.full((C, n), 1.0 / n, dtype=np.float32)
+        first_batch = data[:1]
+        evaluator(base, mat(init_lora, zero_stack, W0), first_batch,
+                  dataset_size=cfg.data.eval_batch_size)
+        logger.info(f"prewarm: powerset eval shape compiled in {time.time() - t0:.1f}s")
 
     records: List[Dict] = []
     epoch = start_epoch

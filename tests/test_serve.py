@@ -214,3 +214,24 @@ def test_unbounded_serve_outlives_corrupt_streak(cfg):
         cfg, max_rounds=None, timeout=1.0, policy="fail", max_skipped_rounds=0
     )
     assert len(records) == 1 and records[0]["epoch"] == 1
+
+
+def test_serve_prewarm_keeps_results_identical(cfg):
+    """Prewarm only moves compiles; round results must be unchanged."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    r_warm = serve(cfg, max_rounds=1, timeout=30.0, policy="fail", prewarm=True)
+    # fresh dirs for the cold run
+    import shutil
+
+    shutil.rmtree(cfg.obs.exp_dir, ignore_errors=True)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    r_cold = serve(cfg, max_rounds=1, timeout=30.0, policy="fail", prewarm=False)
+    for d in range(2):
+        for c in range(3):
+            assert r_warm[0]["shapley"][d][c] == pytest.approx(
+                r_cold[0]["shapley"][d][c], abs=1e-9
+            )
