@@ -106,16 +106,25 @@ def serve(
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
 
     if prewarm:
-        # compile the dominant round shape now (C = 2^n - 1 coalition models
-        # over one validation batch) instead of inside the first round
+        # compile the dominant round shape now instead of inside the first
+        # round. The evaluator never sees more than `chunk` coalitions at
+        # once (and at large n the sampled estimators submit chunk-sized
+        # blocks, not the exponential powerset), so C is clamped — prewarm
+        # cost is bounded by chunk coalition-evals over <= 2 batches.
         t0 = time.time()
-        C = 2**n - 1
+        C = min(2**n - 1, chunk) if chunk else 2**n - 1
         zero_stack = tm.tree_stack([tm.tree_zeros_like(init_lora)] * n)
         W0 = np.full((C, n), 1.0 / n, dtype=np.float32)
-        first_batch = data[:1]
-        evaluator(base, mat(init_lora, zero_stack, W0), first_batch,
-                  dataset_size=cfg.data.eval_batch_size)
-        logger.info(f"prewarm: powerset eval shape compiled in {time.time() - t0:.1f}s")
+        # a remainder batch has its own compiled shape — warm it too or the
+        # first round still pays that compile mid-round
+        warm_batches = data[:1] + (data[-1:] if len(data) > 1
+                                   and data[-1][1].shape != data[0][1].shape else [])
+        evaluator(base, mat(init_lora, zero_stack, W0), warm_batches,
+                  dataset_size=max(1, sum(len(b[1]) for b in warm_batches)))
+        logger.info(
+            f"prewarm: C={C} eval shape over {len(warm_batches)} batch shape(s) "
+            f"compiled in {time.time() - t0:.1f}s"
+        )
 
     records: List[Dict] = []
     epoch = start_epoch

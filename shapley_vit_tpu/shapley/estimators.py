@@ -617,12 +617,21 @@ def shapley_kernel(
     Z = np.zeros((len(subsets), n))
     for r, s in enumerate(subsets):
         Z[r, s] = 1.0
+    if m is not None and (Z.sum(axis=0) == 0).any():
+        # an unsampled client would absorb the efficiency residual through
+        # the ridge — an arbitrary huge SV with no warning. Fail loudly.
+        missing = np.nonzero(Z.sum(axis=0) == 0)[0].tolist()
+        raise ValueError(
+            f"KernelSHAP draws covered no coalition containing client(s) "
+            f"{missing}; increase m (got {m})"
+        )
     v_full = np.array(game.eval_utility(selected[full]))  # [dim]
     Y = np.array([game.eval_utility(selected[s]) for s in subsets])  # [m, dim]
 
-    W = np.diag(weights)
-    A = Z.T @ W @ Z
-    # ridge for sampled mode (A can be singular when m < n or draws repeat)
+    # weights scale rows elementwise — never materialize diag(weights)
+    # (dense m x m is ~2 GB at the n=14 enumeration limit)
+    A = Z.T @ (weights[:, None] * Z)
+    # ridge for sampled mode (A can be singular when draws repeat)
     A = A + 1e-10 * np.eye(n)
     Ainv = np.linalg.inv(A)
     ones = np.ones(n)

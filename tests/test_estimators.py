@@ -247,3 +247,15 @@ def test_kernel_shap_sampled_and_edges():
     assert ks1[0][0] == pytest.approx(0.7) and ks1[1][0] == pytest.approx(-0.1)
     with pytest.raises(ValueError):
         shapley_kernel(TabularGame(additive_table(np.zeros((15, 2))), n_all=15))
+
+
+def test_kernel_shap_rejects_uncovered_clients():
+    """Regression: an unsampled client must raise, not silently absorb the
+    efficiency residual through the ridge."""
+    from shapley_vit_tpu.shapley import shapley_kernel
+
+    rng_vals = np.random.default_rng(0).normal(0.3, 0.1, (10, 2))
+    g = TabularGame(additive_table(rng_vals), n_all=10)
+    # a single proper coalition can never cover all 10 clients
+    with pytest.raises(ValueError, match="covered no coalition"):
+        shapley_kernel(g, m=1, rng=np.random.default_rng(0))

@@ -33,7 +33,7 @@ from shapley_vit_tpu.models import vit as jvit
 
 MODES = {
     "bf16_tanh": {},
-    "int8_qkv_fc1 (bench mode)": dict(quant="int8", quant_targets=("q", "k", "v", "fc1")),
+    "int8_qkv_fc1 (bench mode)": dict(quant="int8", quant_targets=jvit.INT8_TARGETS),
     "int8_all": dict(quant="int8"),
 }
 BAR = 0.99
