@@ -111,15 +111,10 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         sizes = [1000] * n
 
     rng = np.random.default_rng(seed)
-    images = jax.device_put(
-        rng.normal(size=(val_size, spec.image, spec.image, 3)).astype(np.float32)
+    host_images = rng.normal(size=(val_size, spec.image, spec.image, 3)).astype(
+        np.float32
     )
-    labels = jax.device_put(rng.integers(0, spec.num_classes, size=val_size))
-    jax.block_until_ready(images)
-    data = [
-        (images[i : i + batch], labels[i : i + batch])
-        for i in range(0, val_size, batch)
-    ]
+    host_labels = rng.integers(0, spec.num_classes, size=val_size)
 
     # chunk the coalition axis when C can exceed HBM: MC estimators touch
     # ~m*n distinct coalitions; 224px ViT activations at batch 128 allow
@@ -150,19 +145,31 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         itemsize = jnp.dtype(spec.compute_dtype).itemsize
         params_bytes = sum(x.size for x in jax.tree.leaves(base)) * itemsize
         chunk = max(1, min(chunk, int(6e9 / params_bytes)))
+    # device-count-gated mesh sharding (parallel.make_eval_backend): one
+    # chip runs the single-chip evaluator unchanged; a v5e-8 shards the
+    # batch over the mesh's data axis — same gate as the production drivers
+    from shapley_vit_tpu.data.arrays import ArrayDataset
+    from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
+
+    if cfg.get("full_delta"):
         mat_cast = jax.jit(
             lambda b, s, W: jax.tree.map(
                 lambda a: a.astype(spec.compute_dtype),
                 tm.materialize_coalitions(b, s, W),
             )
         )
-        evaluator = ev.make_coalition_evaluator(
+        backend = make_eval_backend(
             lambda _s, v, x: jvit.vit_forward(v, None, x, eval_spec),
             coalition_chunk=chunk,
         )
+        data = backend.device_batches(
+            ArrayDataset(images=host_images, labels=host_labels), batch
+        )
 
         def eval_fn(W):
-            return evaluator({}, mat_cast(base, stacked, W), data, dataset_size=val_size)
+            return backend.evaluate(
+                {}, mat_cast(base, stacked, W), data, dataset_size=val_size
+            )
 
     else:
         # NOTE: pad_buckets measured a wash here — each coalition eval is
@@ -170,13 +177,18 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         # remote compiler's own cache while padding adds real work
         # (BENCH_NOTES.md round 2). Bucketing stays for the long-running
         # service where compile-cache growth matters.
-        evaluator = ev.make_coalition_evaluator(
+        backend = make_eval_backend(
             lambda b, l, x: jvit.vit_forward(b, l, x, eval_spec),
             coalition_chunk=chunk,
         )
+        data = backend.device_batches(
+            ArrayDataset(images=host_images, labels=host_labels), batch
+        )
 
         def eval_fn(W):
-            return evaluator(base, mat(lora0, stacked, W), data, dataset_size=val_size)
+            return backend.evaluate(
+                base, mat(lora0, stacked, W), data, dataset_size=val_size
+            )
 
     # warm-up: compile the eval at the estimator's coalition-batch shape so
     # wall_clock_s reports steady-state throughput. Exact estimators submit

@@ -63,6 +63,14 @@ class DistConfig:
     # n_data_shards must divide the device count when a mesh is built.
     mesh_coalition_axis: str = "coalition"
     mesh_data_axis: str = "data"
+    # Driver sharding gate (parallel.coalition_eval.make_eval_backend):
+    # "auto" = shard coalition evaluation over ALL visible devices whenever
+    # more than one is present (the reference's always-on nn.DataParallel,
+    # start.py:283, done TPU-right); "off" = force the single-chip evaluator.
+    mesh: str = "auto"
+    # coalition-axis size of the driver mesh; 0 = pure data-parallel
+    # (batch sharded over every device, coalitions vmapped locally)
+    mesh_coalition_shards: int = 0
 
 
 @dataclass
@@ -171,6 +179,9 @@ class ObservabilityConfig:
     # non-eval cost of a steady-state serve round (tools/serve_profile.py);
     # CSV artifacts are always written
     render_plots: bool = True
+    # render the per-round PNG on a worker thread so the serve loop never
+    # waits on matplotlib (driver/report.flush_async_plots drains at stop)
+    render_plots_async: bool = True
 
 
 @dataclass

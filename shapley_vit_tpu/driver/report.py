@@ -11,11 +11,43 @@ from __future__ import annotations
 
 import csv
 import os
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 UTILITY_NAMES = {0: "accuracy", 1: "loss"}  # reference start.py:88-91 utility_map
+
+# Async plot rendering: matplotlib PNG rendering costs ~0.55 s/round — ~23%
+# of a steady-state serve round (tools/serve_profile.py) — and nothing waits
+# on the file. A single worker thread renders plots off the round loop; one
+# worker (not a pool) serializes matplotlib, which is not re-entrant.
+_PLOT_EXECUTOR = None
+_PLOT_PENDING: List = []
+_PLOT_LOCK = threading.Lock()
+
+
+def _plot_async(fn, *args, **kwargs):
+    global _PLOT_EXECUTOR
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _PLOT_LOCK:
+        if _PLOT_EXECUTOR is None:
+            _PLOT_EXECUTOR = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="svt-plot"
+            )
+        fut = _PLOT_EXECUTOR.submit(fn, *args, **kwargs)
+        _PLOT_PENDING.append(fut)
+        return fut
+
+
+def flush_async_plots(timeout: Optional[float] = None) -> None:
+    """Block until every queued async plot has rendered (service shutdown /
+    test determinism). Render errors surface here instead of being dropped."""
+    with _PLOT_LOCK:
+        pending, _PLOT_PENDING[:] = list(_PLOT_PENDING), []
+    for fut in pending:
+        fut.result(timeout=timeout)
 
 
 def write_shapley_csv(
@@ -111,11 +143,14 @@ def render_round_report(
     timer=None,
     se: Optional[Sequence[Dict[int, float]]] = None,
     render_plots: bool = True,
+    plots_async: bool = False,
 ) -> List[str]:
     """One call per round; returns created artifact paths.
     ``render_plots=False`` skips the PNG (matplotlib costs ~0.55 s/round —
     the largest non-eval cost of a steady-state serve round); CSVs are
-    always written."""
+    always written. ``plots_async=True`` queues the PNG on the plot worker
+    thread instead (the serve loop's default — nothing waits on plots); the
+    returned path exists once :func:`flush_async_plots` drains."""
     paths = []
     p = os.path.join(out_dir, "shapley_round.csv")
     write_shapley_csv(p, shapley_value, round_idx)
@@ -126,7 +161,10 @@ def render_round_report(
         paths.append(p)
     if render_plots:
         p = os.path.join(out_dir, f"sv_bar_r{round_idx}.png")
-        plot_shapley_bar(
+        render = plot_shapley_bar if not plots_async else (
+            lambda *a, **kw: _plot_async(plot_shapley_bar, *a, **kw)
+        )
+        render(
             shapley_value, p, title=f"Shapley values — round {round_idx}", se=se
         )
         paths.append(p)

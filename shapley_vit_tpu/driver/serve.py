@@ -20,12 +20,13 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from shapley_vit_tpu.config import Config
-from shapley_vit_tpu.data.arrays import device_batches
+from shapley_vit_tpu.driver import report as report_mod
 from shapley_vit_tpu.driver.report import render_round_report
 from shapley_vit_tpu.fl import evaluation as ev
 from shapley_vit_tpu.fl import ingestion
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import get_logger
@@ -73,25 +74,31 @@ def serve(
     spec, base, init_lora = start_mod.build_model(cfg)
     if valid is None:
         valid = start_mod.load_validation_dataset(cfg, target_size=spec.image)
-    data = device_batches(valid, cfg.data.eval_batch_size)
-
-    single = lambda p, x: jvit.vit_forward(p[0], p[1], x, spec)
-    prev_utility = list(
-        ev.evaluate_model(single, (base, init_lora), data, dataset_size=len(valid))
-    )
-    logger.info(f"service up: initial utility {prev_utility}")
 
     chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
         spec.seq_len, spec.hidden, cfg.data.eval_batch_size
     )
-    evaluator = ev.make_coalition_evaluator(
+    # device-count-gated: >1 visible device shards coalition eval over a
+    # (coalition, data) mesh (the reference's always-on DataParallel,
+    # start.py:283, done TPU-right); one device is bit-identical to the
+    # single-chip evaluator
+    backend = make_eval_backend(
         lambda b, l, x: jvit.vit_forward(b, l, x, spec),
         coalition_chunk=chunk,
         pad_buckets=True,  # per-round coalition counts vary; bound compiles
         # no padding tax on the dominant full-powerset batches (+16%
         # measured, serve_profile.py)
         shape_hints=ev.powerset_shape_hints(n),
+        dist_cfg=cfg.dist,
+        log_fn=logger.info,
     )
+    evaluator = backend.evaluate
+    data = backend.device_batches(valid, cfg.data.eval_batch_size)
+
+    prev_utility = list(
+        backend.evaluate_single(base, init_lora, data, dataset_size=len(valid))
+    )
+    logger.info(f"service up: initial utility {prev_utility}")
     import jax
 
     mat = jax.jit(tm.materialize_coalitions)
@@ -106,24 +113,33 @@ def serve(
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
 
     if prewarm:
-        # compile the dominant round shape now instead of inside the first
+        # compile the dominant round shapes now instead of inside the first
         # round. The evaluator never sees more than `chunk` coalitions at
         # once (and at large n the sampled estimators submit chunk-sized
         # blocks, not the exponential powerset), so C is clamped — prewarm
         # cost is bounded by chunk coalition-evals over <= 2 batches.
         t0 = time.time()
         C = min(2**n - 1, chunk) if chunk else 2**n - 1
+        warm_counts = [C]
+        # when the powerset splits into chunk-sized blocks, the round's
+        # LAST block is smaller ((2^n-1) % chunk, shape-hint-exempt when it
+        # is itself a powerset size) and would otherwise compile mid-round
+        rem = (2**n - 1) % chunk if chunk and 2**n - 1 > chunk else 0
+        if rem and rem != C:
+            warm_counts.append(rem)
         zero_stack = tm.tree_stack([tm.tree_zeros_like(init_lora)] * n)
-        W0 = np.full((C, n), 1.0 / n, dtype=np.float32)
         # a remainder batch has its own compiled shape — warm it too or the
         # first round still pays that compile mid-round
         warm_batches = data[:1] + (data[-1:] if len(data) > 1
                                    and data[-1][1].shape != data[0][1].shape else [])
-        evaluator(base, mat(init_lora, zero_stack, W0), warm_batches,
-                  dataset_size=max(1, sum(len(b[1]) for b in warm_batches)))
+        warm_n = max(1, sum(int(b[1].shape[0]) for b in warm_batches))
+        for c in warm_counts:
+            W0 = np.full((c, n), 1.0 / n, dtype=np.float32)
+            evaluator(base, mat(init_lora, zero_stack, W0), warm_batches,
+                      dataset_size=warm_n)
         logger.info(
-            f"prewarm: C={C} eval shape over {len(warm_batches)} batch shape(s) "
-            f"compiled in {time.time() - t0:.1f}s"
+            f"prewarm: C={warm_counts} eval shape(s) over {len(warm_batches)} "
+            f"batch shape(s) compiled in {time.time() - t0:.1f}s"
         )
 
     records: List[Dict] = []
@@ -246,8 +262,8 @@ def serve(
                     ratio,
                 )
                 prev_utility = list(
-                    ev.evaluate_model(
-                        single, (base, current_overlay), data, dataset_size=len(valid)
+                    backend.evaluate_single(
+                        base, current_overlay, data, dataset_size=len(valid)
                     )
                 )
                 if cfg.paths.global_model_path:
@@ -259,10 +275,12 @@ def serve(
                         spec,
                     )
         # rendered last so the timing CSV carries every phase above; the
-        # report's own cost shows up in the record's wall_s
+        # report's own cost shows up in the record's wall_s (PNGs render on
+        # the plot worker thread by default — the loop never waits on them)
         artifacts = render_round_report(
             out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se,
             render_plots=cfg.obs.render_plots,
+            plots_async=cfg.obs.render_plots_async,
         )
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
@@ -271,6 +289,8 @@ def serve(
         )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1
+    # every queued PNG exists (and render errors surface) before returning
+    report_mod.flush_async_plots()
     return records
 
 

@@ -31,7 +31,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from shapley_vit_tpu.config import Config
-from shapley_vit_tpu.data.arrays import ArrayDataset, device_batches
+from shapley_vit_tpu.data.arrays import ArrayDataset
 from shapley_vit_tpu.data.registry import get_dataset
 from shapley_vit_tpu.fl import evaluation as ev
 from shapley_vit_tpu.fl import ingestion
@@ -39,6 +39,7 @@ from shapley_vit_tpu.fl.client import EvalClient
 from shapley_vit_tpu.fl.server import EvalServer
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
+from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import CSVLogger, get_logger
@@ -129,12 +130,26 @@ def get_initial_shapley_value(
     n = cfg.shapley.num_clients
     utility_dim = cfg.shapley.utility_dim
 
-    data = device_batches(valid, cfg.data.eval_batch_size)
-    single_fwd = lambda p, x: jvit.vit_forward(p[0], p[1], x, spec)
+    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
+        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
+    )
+    # device-count-gated: >1 visible device shards eval over a (coalition,
+    # data) mesh — the reference's always-on DataParallel (start.py:283)
+    # done TPU-right; one device is bit-identical to the single-chip path
+    backend = make_eval_backend(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
+        coalition_chunk=chunk,
+        pad_buckets=True,  # per-round coalition counts vary; bound compiles
+        # no padding tax on the dominant full-powerset batches
+        shape_hints=ev.powerset_shape_hints(n),
+        dist_cfg=cfg.dist,
+        log_fn=logger.info,
+    )
+    data = backend.device_batches(valid, cfg.data.eval_batch_size)
 
     # step 3: initial global utility (start.py:84-96)
-    fed_valid_acc, fed_valid_loss = ev.evaluate_model(
-        single_fwd, (base, init_lora), data, dataset_size=len(valid)
+    fed_valid_acc, fed_valid_loss = backend.evaluate_single(
+        base, init_lora, data, dataset_size=len(valid)
     )
     previous_utility = [fed_valid_acc, fed_valid_loss]
     logger.info(f"Previous utility: {previous_utility}")
@@ -176,8 +191,8 @@ def get_initial_shapley_value(
             clients.append(EvalClient(cid, num_local_data_train=n_local))
             continue
         client_lora = tm.tree_add(init_lora, delta)
-        acc, loss = ev.evaluate_model(
-            single_fwd, (base, client_lora), data, dataset_size=len(valid)
+        acc, loss = backend.evaluate_single(
+            base, client_lora, data, dataset_size=len(valid)
         )
         local_metrics.append((cid, acc, loss))
         logger.info(f"Client {cid}: accuracy={acc} loss={loss}")
@@ -192,23 +207,13 @@ def get_initial_shapley_value(
     stacked = tm.tree_stack([
         d if d is not None else tm.tree_zeros_like(init_lora) for d in deltas
     ])
-    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
-        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
-    )
-    evaluator = ev.make_coalition_evaluator(
-        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=chunk,
-        pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # no padding tax on the dominant full-powerset batches
-        shape_hints=ev.powerset_shape_hints(n),
-    )
     import jax
 
     mat = jax.jit(tm.materialize_coalitions)
 
     def eval_coalitions_fn(W: np.ndarray) -> np.ndarray:
         stacked_lora = mat(init_lora, stacked, W)
-        return evaluator(base, stacked_lora, data, dataset_size=len(valid))
+        return backend.evaluate(base, stacked_lora, data, dataset_size=len(valid))
 
     game = Game(
         eval_coalitions_fn=eval_coalitions_fn,

@@ -9,5 +9,8 @@ from shapley_vit_tpu.parallel.mesh import (  # noqa: F401
     shard_coalitions,
 )
 from shapley_vit_tpu.parallel.coalition_eval import (  # noqa: F401
+    EvalBackend,
+    make_eval_backend,
     make_sharded_coalition_evaluator,
+    shard_batches,
 )

@@ -185,48 +185,53 @@ def shapley_monte_carlo(
     marginal-contribution sample per client, so the SE is the sample std /
     √m. Under ``antithetic`` the two halves of a pair are correlated — the
     pair MEAN is the iid unit, which is exactly what makes the antithetic
-    SE smaller when the pairing works."""
+    SE smaller when the pairing works. Antithetic sampling pairs
+    permutations, so an odd ``m`` is rounded DOWN to even (an unpaired tail
+    permutation has ~2× the variance of a pair mean and would miscalibrate
+    the SE if weighted equally — ADVICE r2)."""
     rng = rng or np.random.default_rng()
     n = game.n
     idxs = np.array(game.selected_clients)
 
     # phase 1: draw all permutations up front
     if antithetic:
+        if m % 2:
+            m -= 1
+        if m < 2:
+            raise ValueError("antithetic sampling needs m >= 2 (paired draws)")
         perms = []
         for _ in range(m // 2):
             p = rng.permutation(idxs)
             perms += [p, p[::-1]]
-        if m % 2:
-            perms.append(rng.permutation(idxs))
     else:
         perms = [rng.permutation(idxs) for _ in range(m)]
     # phase 2: one batched eval of every distinct prefix coalition
     game.precompute([perm[:j] for perm in perms for j in range(1, n + 1)])
 
-    # phase 3: scoring (identical arithmetic to the reference loop)
+    # phase 3: scoring (identical arithmetic to the reference loop; the
+    # per-perm marginals bookkeeping for SEs only runs when asked — the
+    # default path keeps the reference-parity loop unchanged)
     shapley_value = game.default_shapley_value
     pos = {int(c): k for k, c in enumerate(idxs)}
-    marginals = np.zeros((m, game.utility_dim, n))  # per-perm samples for SE
+    if return_se:
+        marginals = np.zeros((m, game.utility_dim, n))  # per-perm samples
     for p_i, perm in enumerate(perms):
         old_u = [0.0] * game.utility_dim
         for j in range(1, n + 1):
             temp_u = game.eval_utility(perm[:j])
             for i in range(game.utility_dim):
                 shapley_value[i][perm[j - 1]] += temp_u[i] - old_u[i]
-                marginals[p_i, i, pos[int(perm[j - 1])]] = temp_u[i] - old_u[i]
+                if return_se:
+                    marginals[p_i, i, pos[int(perm[j - 1])]] = temp_u[i] - old_u[i]
                 old_u[i] = temp_u[i]
     for i in range(game.utility_dim):
         for j in idxs:
             shapley_value[i][j] /= m
     if not return_se:
         return shapley_value
-    if antithetic and m >= 2:
+    if antithetic:
         # a pair's halves are correlated; the pair mean is the iid unit
-        pairs = marginals[: (m // 2) * 2].reshape(m // 2, 2, game.utility_dim, n)
-        units = list(pairs.mean(axis=1))
-        if m % 2:
-            units.append(marginals[-1])
-        units = np.stack(units)
+        units = marginals.reshape(m // 2, 2, game.utility_dim, n).mean(axis=1)
     else:
         units = marginals
     k = len(units)
@@ -277,73 +282,105 @@ def _cc_evaluate(game: Game, samples, selected: np.ndarray) -> None:
     game.precompute(coalitions)
 
 
+class _CCAccumulator:
+    """Incremental comp-contrib scoring state.
+
+    Holds the per-(stratum, client) utility / utility² / count accumulators
+    plus the per-stratum complementary-contribution draws (for Neyman
+    re-allocation), so each new block of samples is scattered exactly ONCE.
+    The adaptive estimator's stop-check used to re-score ALL accumulated
+    samples every block — O(blocks·m) host work with n²-sized cell scans
+    (ADVICE r2); with the accumulator each block is O(block)."""
+
+    def __init__(self, game: Game, selected: np.ndarray):
+        self.game = game
+        self.selected = selected
+        n, dim = game.n, game.utility_dim
+        self.n = n
+        self.utility = [np.zeros((n + 1, n)) for _ in range(dim)]
+        self.utility_sq = [np.zeros((n + 1, n)) for _ in range(dim)]
+        self.count = np.zeros((n + 1, n))
+        self.per_j: Dict[int, List[List[float]]] = {j: [] for j in range(1, n + 1)}
+        self.m = 0
+
+    def add(self, samples) -> None:
+        """Scatter a block (reference arithmetic, utils_shapley.py:291-301):
+        ±(u1−u2) into the members' stratum-j cells and the complement's
+        stratum-(n−j) cells."""
+        game, selected, n = self.game, self.selected, self.n
+        for idxs, j in samples:
+            u_1 = game.eval_utility(selected[idxs[:j]])
+            u_2 = game.eval_utility(selected[idxs[j:]])
+            cc = [u_1[i] - u_2[i] for i in range(game.utility_dim)]
+            self.per_j[j].append(cc)
+            temp = np.zeros(n)
+            temp[idxs[:j]] = 1
+            self.count[j, :] += temp
+            for i in range(game.utility_dim):
+                self.utility[i][j, :] += temp * cc[i]
+                self.utility_sq[i][j, :] += temp * cc[i] ** 2
+            temp = np.zeros(n)
+            temp[idxs[j:]] = 1
+            self.count[n - j, :] += temp
+            for i in range(game.utility_dim):
+                self.utility[i][n - j, :] += temp * (-cc[i])
+                self.utility_sq[i][n - j, :] += temp * cc[i] ** 2
+        self.m += len(samples)
+
+    def covered(self, min_count: int = 3) -> bool:
+        """Every reachable (stratum, client) cell has >= min_count samples
+        (stratum 0 is never credited: the empty complement at j=n scatters
+        nothing)."""
+        return bool(self.count[1:].min() >= min_count)
+
+    def score(self, with_se: bool = False):
+        """Per-stratum mean, sum over strata, ÷ n (utils_shapley.py:345-352).
+
+        ``with_se=True`` additionally returns the per-client standard error:
+        the SV is (1/n)·Σ_strata (stratum mean), so its sampling variance is
+        (1/n²)·Σ_strata s²_strat/count (strata are near-independent:
+        disjoint sample subsets feed each (stratum, client) cell). Cells
+        with fewer than 2 samples contribute zero variance — the SE is a
+        lower bound at very small m (same small-m regime where the
+        estimator itself is biased; see shapley_comp_contrib)."""
+        n, game = self.n, self.game
+        sv = [np.zeros(n) for _ in range(game.utility_dim)]
+        var = [np.zeros(n) for _ in range(game.utility_dim)]
+        for i in range(n + 1):
+            for j in range(n):
+                for k in range(game.utility_dim):
+                    if self.count[i][j] != 0:
+                        mean = self.utility[k][i][j] / self.count[i][j]
+                        sv[k][j] += mean
+                        if with_se and self.count[i][j] >= 2:
+                            c = self.count[i][j]
+                            s2 = (self.utility_sq[k][i][j] / c - mean**2) * c / (c - 1)
+                            var[k][j] += max(s2, 0.0) / c
+        for i in range(game.utility_dim):
+            sv[i] /= n
+        if not with_se:
+            return sv
+        se = [np.sqrt(v) / n for v in var]
+        return sv, se
+
+
 def _cc_score(game: Game, samples, selected: np.ndarray, with_se: bool = False):
-    """Reference scoring arithmetic (utils_shapley.py:291-301, 345-352):
-    scatter ±(u1−u2) into per-stratum accumulators, per-stratum mean, sum
-    over strata, ÷ n.
-
-    ``with_se=True`` additionally returns the per-client standard error of
-    the estimate: the SV is (1/n)·Σ_strata (stratum mean), so its sampling
-    variance is (1/n²)·Σ_strata s²_strat/count (strata are near-independent:
-    disjoint sample subsets feed each (stratum, client) cell). Cells with
-    fewer than 2 samples contribute zero variance — the SE is a lower bound
-    at very small m (same small-m regime where the estimator itself is
-    biased; see shapley_comp_contrib)."""
-    n = game.n
-    utility = [np.zeros((n + 1, n)) for _ in range(game.utility_dim)]
-    utility_sq = [np.zeros((n + 1, n)) for _ in range(game.utility_dim)]
-    count = np.zeros((n + 1, n))
-    for idxs, j in samples:
-        u_1 = game.eval_utility(selected[idxs[:j]])
-        u_2 = game.eval_utility(selected[idxs[j:]])
-        temp = np.zeros(n)
-        temp[idxs[:j]] = 1
-        count[j, :] += temp
-        for i in range(game.utility_dim):
-            utility[i][j, :] += temp * (u_1[i] - u_2[i])
-            utility_sq[i][j, :] += temp * (u_1[i] - u_2[i]) ** 2
-        temp = np.zeros(n)
-        temp[idxs[j:]] = 1
-        count[n - j, :] += temp
-        for i in range(game.utility_dim):
-            utility[i][n - j, :] += temp * (u_2[i] - u_1[i])
-            utility_sq[i][n - j, :] += temp * (u_2[i] - u_1[i]) ** 2
-
-    sv = [np.zeros(n) for _ in range(game.utility_dim)]
-    var = [np.zeros(n) for _ in range(game.utility_dim)]
-    for i in range(n + 1):
-        for j in range(n):
-            for k in range(game.utility_dim):
-                if count[i][j] != 0:
-                    mean = utility[k][i][j] / count[i][j]
-                    sv[k][j] += mean
-                    if with_se and count[i][j] >= 2:
-                        c = count[i][j]
-                        s2 = (utility_sq[k][i][j] / c - mean**2) * c / (c - 1)
-                        var[k][j] += max(s2, 0.0) / c
-    for i in range(game.utility_dim):
-        sv[i] /= n
-    if not with_se:
-        return sv
-    se = [np.sqrt(v) / n for v in var]
-    return sv, se
+    """One-shot comp-contrib scoring (reference utils_shapley.py:291-301,
+    345-352) — an accumulator filled once and scored once."""
+    acc = _CCAccumulator(game, selected)
+    acc.add(samples)
+    return acc.score(with_se=with_se)
 
 
-def _neyman_extra_split_points(
-    game: Game, pilot, extra: int, n: int, rng: np.random.Generator
+def _neyman_js_from_per_j(
+    per_j: Dict[int, List[List[float]]], extra: int, n: int, rng: np.random.Generator
 ) -> List[int]:
-    """Allocate ``extra`` split points ∝ the pilot's per-stratum std of the
-    complementary contribution (Neyman allocation; samples at high-variance
+    """Allocate ``extra`` split points ∝ the per-stratum std of the observed
+    complementary contributions (Neyman allocation; samples at high-variance
     split sizes buy the most variance reduction). Utility dims are normalized
     to unit pooled std before pooling so acc (≈0.1-scale) and CE loss
     (≈1-scale) weigh equally."""
-    per_j: Dict[int, List[List[float]]] = {j: [] for j in range(1, n + 1)}
-    selected = np.array(game.selected_clients)
-    for idxs, j in pilot:
-        u_1 = game.eval_utility(selected[idxs[:j]])
-        u_2 = game.eval_utility(selected[idxs[j:]])
-        per_j[j].append([u_1[i] - u_2[i] for i in range(game.utility_dim)])
-    # per-dim pooled scale across all pilot draws
+    # per-dim pooled scale across all draws so far
     all_cc = np.array([v for vs in per_j.values() for v in vs])  # [m, dim]
     scale = all_cc.std(axis=0)
     scale[scale == 0] = 1.0
@@ -362,6 +399,21 @@ def _neyman_extra_split_points(
     js = [j for j in range(1, n + 1) for _ in range(alloc[j - 1])]
     rng.shuffle(js)
     return js
+
+
+def _neyman_extra_split_points(
+    game: Game, pilot, extra: int, n: int, rng: np.random.Generator
+) -> List[int]:
+    """Neyman allocation from a list of pilot samples (two-phase static
+    path; the adaptive path feeds ``_neyman_js_from_per_j`` directly from
+    its incremental accumulator)."""
+    per_j: Dict[int, List[List[float]]] = {j: [] for j in range(1, n + 1)}
+    selected = np.array(game.selected_clients)
+    for idxs, j in pilot:
+        u_1 = game.eval_utility(selected[idxs[:j]])
+        u_2 = game.eval_utility(selected[idxs[j:]])
+        per_j[j].append([u_1[i] - u_2[i] for i in range(game.utility_dim)])
+    return _neyman_js_from_per_j(per_j, extra, n, rng)
 
 
 def shapley_comp_contrib(
@@ -438,20 +490,6 @@ def shapley_comp_contrib(
     return _merge_with_default(game, sv)
 
 
-def _cc_cell_counts(samples, n: int) -> np.ndarray:
-    """Per-(stratum, client) sample counts for strata 1..n (stratum 0 is
-    never credited: the empty complement at j=n scatters nothing)."""
-    count = np.zeros((n + 1, n))
-    for idxs, j in samples:
-        t = np.zeros(n)
-        t[idxs[:j]] = 1
-        count[j] += t
-        t = np.zeros(n)
-        t[idxs[j:]] = 1
-        count[n - j] += t
-    return count[1:]
-
-
 def shapley_comp_contrib_adaptive(
     game: Game,
     target_se: float,
@@ -482,10 +520,10 @@ def shapley_comp_contrib_adaptive(
     block = block or max(2 * n, 10)
     max_m = max_m or 500 * n
 
-    samples = []
+    acc = _CCAccumulator(game, selected)
     covered = False
     while True:
-        want = min(block, max_m - len(samples))
+        want = min(block, max_m - acc.m)
         if stratify == "uniform" or n == 1:
             new = _cc_samples(n, want, rng)
         elif stratify == "balanced" or not covered:
@@ -496,24 +534,26 @@ def shapley_comp_contrib_adaptive(
             # max_m budget at any n >= 4. Balanced blocks until covered,
             # variance-optimal blocks after.
             new = _cc_samples_at(n, _balanced_split_points(n, want, rng), rng)
-        else:  # neyman: all samples so far are the pilot
-            js = _neyman_extra_split_points(game, samples, want, n, rng)
+        else:  # neyman: everything observed so far is the pilot
+            js = _neyman_js_from_per_j(acc.per_j, want, n, rng)
             new = _cc_samples_at(n, js, rng)
         _cc_evaluate(game, new, selected)
-        samples += new
-        sv, se = _cc_score(game, samples, selected, with_se=True)
+        # the accumulator scatters ONLY the new block; the stop-check below
+        # reads running totals instead of re-scoring all samples (ADVICE r2)
+        acc.add(new)
+        sv, se = acc.score(with_se=True)
         worst = max(float(x.max()) for x in se)
         # cells with <2 samples report zero variance, so the SE is a hard
         # lower bound early on (a 20-sample n=5 run measured SE 0.05 vs a
         # true error of 0.25) — only trust it once every reachable
         # (stratum, client) cell has >= 3 samples
-        covered = bool(_cc_cell_counts(samples, n).min() >= 3)
-        if (worst <= target_se and covered) or len(samples) >= max_m:
+        covered = acc.covered()
+        if (worst <= target_se and covered) or acc.m >= max_m:
             break
     return (
         _merge_with_default(game, sv),
         _merge_with_default(game, se),
-        len(samples),
+        acc.m,
     )
 
 
@@ -522,7 +562,8 @@ def shapley_owen(
     q_num: int = 8,
     m_per_q: int = 4,
     rng: Optional[np.random.Generator] = None,
-) -> List[Dict[int, float]]:
+    return_se: bool = False,
+):
     """Owen / multilinear-extension sampling (beyond reference; Okhrati &
     Lipani 2020): φ_i = ∫₀¹ E[v(S_q ∪ i) − v(S_q ∖ i)] dq, with S_q
     including every client independently with probability q.
@@ -532,7 +573,13 @@ def shapley_owen(
     every draw yields ALL n marginals from n+1 coalitions, and all distinct
     coalitions go through ONE batched ``game.precompute``. Complements the
     permutation samplers when utility varies most at specific coalition
-    densities (q near the voting quota, say) rather than specific sizes."""
+    densities (q near the voting quota, say) rather than specific sizes.
+
+    ``return_se=True`` returns ``(sv, se)``: draws are iid WITHIN each q
+    level (a stratum of the midpoint rule), so the estimate's variance is
+    (1/q_num²)·Σ_q s²_q/m_per_q per client from the per-level sample
+    variances — analytic, no extra evaluations. Levels with fewer than 2
+    draws contribute zero (the SE is a lower bound at m_per_q = 1)."""
     rng = rng or np.random.default_rng()
     n = game.n
     selected = np.array(game.selected_clients)
@@ -552,8 +599,10 @@ def shapley_owen(
             coalitions.append(selected[flipped])
     game.precompute(coalitions)
 
-    sv_arr = [np.zeros(n) for _ in range(game.utility_dim)]
-    for mem in draws:
+    # [draws, dim, n] per-draw marginal samples; draw k belongs to q level
+    # k // m_per_q
+    marg = np.zeros((len(draws), game.utility_dim, n))
+    for k, mem in enumerate(draws):
         u_s = game.eval_utility(selected[mem])
         for i in range(n):
             flipped = mem.copy()
@@ -561,17 +610,28 @@ def shapley_owen(
             u_f = game.eval_utility(selected[flipped])
             sign = -1.0 if mem[i] else 1.0  # marginal of ADDING client i
             for d in range(game.utility_dim):
-                sv_arr[d][i] += sign * (u_f[d] - u_s[d])
-    for d in range(game.utility_dim):
-        sv_arr[d] /= len(draws)
-    return _merge_with_default(game, sv_arr)
+                marg[k, d, i] = sign * (u_f[d] - u_s[d])
+    sv_arr = list(marg.mean(axis=0))
+    sv = _merge_with_default(game, sv_arr)
+    if not return_se:
+        return sv
+    levels = marg.reshape(q_num, m_per_q, game.utility_dim, n)
+    if m_per_q >= 2:
+        # stratified variance: per-level sample variance / draws-per-level,
+        # averaged over levels² (the midpoint rule averages level means)
+        var = levels.var(axis=1, ddof=1).sum(axis=0) / (q_num**2 * m_per_q)
+    else:
+        var = np.zeros((game.utility_dim, n))
+    se = _merge_with_default(game, list(np.sqrt(var)))
+    return sv, se
 
 
 def shapley_kernel(
     game: Game,
     m: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
-) -> List[Dict[int, float]]:
+    return_se: bool = False,
+):
     """KernelSHAP (beyond reference; Lundberg & Lee 2017): constrained
     weighted least squares over coalition values with the Shapley kernel
     w(|S|) = (n−1)/(C(n,|S|)·|S|·(n−|S|)), efficiency enforced exactly
@@ -582,15 +642,24 @@ def shapley_kernel(
     from the kernel-weighted size distribution (each size's members
     uniform) and solves the same regression with uniform weights (the
     kernel is absorbed into the sampling). All coalition values come from
-    ONE batched ``game.precompute``."""
+    ONE batched ``game.precompute``.
+
+    ``return_se=True`` returns ``(sv, se)`` from the WLS covariance: the
+    heteroskedasticity-robust sandwich A⁻¹(Σ_r e_r² w_r² z_r z_rᵀ)A⁻¹ of
+    the unconstrained solution, projected through the efficiency
+    constraint (φ_c = Mφ_u + const ⇒ Cov_c = M Cov_u Mᵀ). Zero in
+    enumeration mode, where the solution is exact."""
     rng = rng or np.random.default_rng()
     n = game.n
     selected = np.array(game.selected_clients)
     if n == 1:
         u = game.eval_utility(selected)
-        return _merge_with_default(
+        sv1 = _merge_with_default(
             game, [np.array([u[d]]) for d in range(game.utility_dim)]
         )
+        if return_se:
+            return sv1, game.default_shapley_value
+        return sv1
 
     sizes = np.arange(1, n)
     kernel_by_size = (n - 1) / (
@@ -631,17 +700,31 @@ def shapley_kernel(
     # weights scale rows elementwise — never materialize diag(weights)
     # (dense m x m is ~2 GB at the n=14 enumeration limit)
     A = Z.T @ (weights[:, None] * Z)
-    # ridge for sampled mode (A can be singular when draws repeat)
-    A = A + 1e-10 * np.eye(n)
+    if m is not None:
+        # ridge for sampled mode only (A can be singular when draws repeat);
+        # the enumeration A = Z'WZ is nonsingular for n >= 2 and must stay
+        # unperturbed so the WLS solution equals the exact Shapley value
+        A = A + 1e-10 * np.eye(n)
     Ainv = np.linalg.inv(A)
     ones = np.ones(n)
     sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    se = [np.zeros(n) for _ in range(game.utility_dim)]
+    # constraint projection: φ_c = M φ_u + const with M = I − (A⁻¹11ᵀ)/(1ᵀA⁻¹1)
+    M = np.eye(n) - np.outer(Ainv @ ones, ones) / (ones @ Ainv @ ones)
     for d in range(game.utility_dim):
         b = Z.T @ (weights * Y[:, d])
         unconstrained = Ainv @ b
         lam = (ones @ unconstrained - v_full[d]) / (ones @ Ainv @ ones)
         sv[d] = unconstrained - lam * (Ainv @ ones)
-    return _merge_with_default(game, sv)
+    if not return_se:
+        return _merge_with_default(game, sv)
+    if m is not None:
+        for d in range(game.utility_dim):
+            resid = Y[:, d] - Z @ sv[d]
+            meat = Z.T @ (((weights * resid) ** 2)[:, None] * Z)  # Σ e²w² z zᵀ
+            cov_u = Ainv @ meat @ Ainv
+            se[d] = np.sqrt(np.maximum(np.diag(M @ cov_u @ M.T), 0.0))
+    return _merge_with_default(game, sv), _merge_with_default(game, se)
 
 
 def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):

@@ -114,6 +114,38 @@ def test_solve_feasible_small_uN_many_agents():
     np.testing.assert_allclose(np.sort(x), np.sort(x_true), atol=0.05)
 
 
+def test_solve_feasible_property_random_ud():
+    """Property test (round-2 VERDICT #8): for random antisymmetric UD and
+    u_N spanning large-negative / ~0 / large-positive, solve_feasible must
+    return EITHER a point feasible under the relaxed constraints (Σx = u_N,
+    x >= lb) OR exactly the closed-form least-squares fallback — and the
+    lb shrink must never make Σ lb > u_N (which would be LP-infeasible
+    regardless of ε, the reference's forever-loop bug)."""
+    rng = np.random.default_rng(0)
+    for n in (3, 5, 9):
+        for u_scale in (-50.0, -1.0, -1e-3, 0.0, 1e-3, 1.0, 50.0):
+            raw = rng.normal(size=(n, n))
+            UD = raw - raw.T  # antisymmetric, like the group-testing UD
+            u_N = float(u_scale * (1 + rng.random()))
+            x = cm.Fed_SV.solve_feasible(n, u_N, UD)
+            assert x.shape == (n,) and np.isfinite(x).all()
+
+            # the lb the implementation uses must keep Σlb <= u_N
+            lb = 0.05
+            if lb * n > u_N:
+                lb = min(0.05, u_N / n - abs(u_N) * 0.5 - 1e-6)
+            assert lb * n <= u_N + 1e-9, (n, u_N, lb)
+
+            fallback = (u_N + UD.sum(axis=1)) / n
+            is_lp_point = (
+                abs(float(x.sum()) - u_N) <= 1e-6 and (x >= lb - 1e-8).all()
+            )
+            assert is_lp_point or np.allclose(x, fallback), (n, u_N, x)
+            # antisymmetric UD ⇒ the fallback also satisfies efficiency, so
+            # EVERY return path preserves Σx = u_N
+            np.testing.assert_allclose(float(x.sum()), u_N, atol=1e-6)
+
+
 def test_comfedsv_roundtrip(additive4):
     game, values = additive4
     all_subsets = fs.all_subsets_enumeration(4)

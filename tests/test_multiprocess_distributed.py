@@ -73,6 +73,46 @@ want = ev.make_coalition_evaluator(fwd)(base, stacked_lora, [(images, labels)])
 np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 print(f"proc {{pid}}: multi-process sharded eval OK", flush=True)
 
+# ---- FULL Shapley round across processes (Game + comp-contrib) ----
+# Round-2 VERDICT #6: not just one eval step — the whole round
+# (Game.precompute -> batched sharded eval -> comp-contrib scoring) runs on
+# the 2-process mesh and must match the single-process run. Both processes
+# execute the SAME deterministic estimator stream, so their collective
+# calls stay in lockstep. Equality bar: 1e-6 (the cross-process psum
+# reduces f32 loss sums in a different order than the serial accumulator,
+# so bitwise equality is not the right contract; correct-counts ARE exact).
+from shapley_vit_tpu.shapley import Game
+from shapley_vit_tpu.shapley.estimators import shapley_comp_contrib
+
+deltas3 = [treedef.unflatten([0.05 * jax.random.normal(k, l.shape)
+           for k, l in zip(jax.random.split(jax.random.key(30 + i), len(leaves)), leaves)])
+           for i in range(3)]
+stacked3 = tm.tree_stack(deltas3)
+num_local = [10.0, 20.0, 30.0]
+
+def eval_mesh(Wm):
+    return evaluator(base, tm.materialize_coalitions(lora0, stacked3, Wm),
+                     [(images, labels)])
+
+game_m = Game(eval_coalitions_fn=eval_mesh, num_local_data=num_local,
+              client_selection_vector=[True] * 3, previous_utility=[0.0, 0.0])
+sv_m = shapley_comp_contrib(game_m, m=40, rng=np.random.default_rng(11))
+
+single_eval = ev.make_coalition_evaluator(fwd)
+
+def eval_one(Wm):
+    return single_eval(base, tm.materialize_coalitions(lora0, stacked3, Wm),
+                       [(images, labels)])
+
+game_s = Game(eval_coalitions_fn=eval_one, num_local_data=num_local,
+              client_selection_vector=[True] * 3, previous_utility=[0.0, 0.0])
+sv_s = shapley_comp_contrib(game_s, m=40, rng=np.random.default_rng(11))
+assert game_m.num_evaluations == game_s.num_evaluations > 0
+for d in range(2):
+    for c in range(3):
+        assert abs(sv_m[d][c] - sv_s[d][c]) <= 1e-6, (d, c, sv_m[d][c], sv_s[d][c])
+print(f"proc {{pid}}: multi-process full Shapley round OK", flush=True)
+
 # ---- sharded multi-client TRAINING step across processes ----
 # Each process contributes ITS client's shard (host-local -> global): the
 # cross-silo deployment shape, one client per host.
@@ -138,4 +178,5 @@ def test_two_process_distributed_coalition_eval():
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
     for i, out in enumerate(outs):
         assert "multi-process sharded eval OK" in out, out[-1500:]
+        assert "multi-process full Shapley round OK" in out, out[-1500:]
         assert "multi-process sharded train step OK" in out, out[-1500:]

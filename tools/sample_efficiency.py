@@ -114,14 +114,42 @@ def main():
                 f"{kind:10s} {name:14s} rmse={rmse:.5f} ({rel:4.2f}x of {fam} baseline) "
                 f"distinct-evals={evals:.0f}"
             )
+        # ±2σ coverage of the analytic SEs (the whisker contract of
+        # driver/report.plot_shapley_bar): fraction of (dim, client) cells
+        # where |sv − exact| <= 2·se — near-nominal (~95%) means the
+        # whiskers are honest for that estimator/game pairing
+        ex = exact_sv(table, n)
+        se_variants = {
+            "cc_uniform": lambda g, r: est.shapley_comp_contrib(
+                g, m, rng=r, return_se=True
+            ),
+            "mc_plain": lambda g, r: est.shapley_monte_carlo(
+                g, m // n * 2, rng=r, return_se=True
+            ),
+            "owen": lambda g, r: est.shapley_owen(
+                g, q_num=8, m_per_q=max(2, round(2 * m / (n + 1) / 8)), rng=r,
+                return_se=True,
+            ),
+            "kernel": lambda g, r: est.shapley_kernel(
+                g, m=2 * m, rng=r, return_se=True
+            ),
+        }
+        for name, fn in se_variants.items():
+            cov = tot = 0
+            for s in range(min(args.seeds, 40)):
+                g = TabularGame(table, n)
+                sv, se = fn(g, np.random.default_rng(s))
+                a = np.array([[sv[d][i] for i in range(n)] for d in range(2)])
+                e = np.array([[se[d][i] for i in range(n)] for d in range(2)])
+                cov += int(np.sum(np.abs(a - ex) <= 2 * e))
+                tot += a.size
+            results[kind][name]["se_coverage_2sigma"] = round(cov / tot, 3)
+            print(f"{kind:10s} {name:14s} 2sigma-coverage={cov / tot:.2f}")
         # adaptive budget: stop at the fixed-budget run's achieved accuracy.
         # Distinct-eval counts ARE the TPU cost (one vmapped validation pass
         # per distinct coalition), so this comparison transfers exactly.
         target = results[kind]["cc_uniform"]["rmse"]
         errs, evals_a, ms = [], [], []
-        ex = exact_sv(table, n)
-        # fewer seeds + coarse blocks: the adaptive path re-scores all
-        # samples at each stop-check, so keep the check count low
         for s in range(min(args.seeds, 20)):
             g = TabularGame(table, n)
             sv, se, m_used = est.shapley_comp_contrib_adaptive(
