@@ -102,6 +102,7 @@ def serve(
     import jax
 
     mat = jax.jit(tm.materialize_coalitions)
+    jstack = jax.jit(tm.tree_stack)
     # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
     # dispatch each (~3.5 ms through the tunnel ⇒ measured 1.8 s/round) —
     # one jitted program makes the advance itself negligible
@@ -197,9 +198,14 @@ def serve(
         # ratios (load-bearing for SV — reference server2.py:68-81); on
         # partial metadata the round uses equal weights (see ingestion)
         num_local_data = ingestion.resolve_data_sizes(sizes, selection, logger.info)
-        stacked = tm.tree_stack(
-            [d if d is not None else tm.tree_zeros_like(current_overlay) for d in deltas]
-        )
+        with timer.span("stack_deltas"):
+            # one jitted program: an unjitted tree_stack dispatches per leaf
+            # (~50 small ops ≈ 0.2 s through the tunnel — same lesson as the
+            # overlay advance, BENCH_NOTES round 2)
+            stacked = jstack(
+                [d if d is not None else tm.tree_zeros_like(current_overlay)
+                 for d in deltas]
+            )
         start_overlay = current_overlay
 
         def eval_fn(W):
@@ -226,23 +232,34 @@ def serve(
         if cfg.shapley.persist_utility_table:
             from shapley_vit_tpu.fl import checkpoint as ckpt
 
-            fp = ckpt.fingerprint_inputs(
-                stacked,
-                extra=(num_local_data, selection, [f"{u:.12g}" for u in prev_utility]),
-            )
-            table_path = os.path.join(out_dir, f"utility_table_epoch_{epoch}.npz")
-            if os.path.exists(table_path):
-                restored = ckpt.resume_game(game, table_path, fingerprint=fp)
-                if restored:
-                    logger.info(
-                        f"resumed {restored} coalition utilities for epoch {epoch}"
-                    )
-                else:
-                    logger.info(
-                        f"ignoring stale utility table for epoch {epoch} "
-                        "(round inputs changed since it was written)"
-                    )
-            ckpt.checkpointed_game(game, table_path, fingerprint=fp, block=chunk or 8)
+            with timer.span("persist_setup"):
+                # file-digest fingerprint: zero device traffic (the stacked-
+                # tree digest cost a 14MB D2H ≈ 0.2 s/round); the overlay
+                # dependence of the deltas rides on prev_utility in extra
+                fp = ckpt.fingerprint_files(
+                    watch.paths,
+                    extra=(
+                        num_local_data, selection,
+                        [f"{u:.12g}" for u in prev_utility],
+                    ),
+                )
+                table_path = os.path.join(
+                    out_dir, f"utility_table_epoch_{epoch}.npz"
+                )
+                if os.path.exists(table_path):
+                    restored = ckpt.resume_game(game, table_path, fingerprint=fp)
+                    if restored:
+                        logger.info(
+                            f"resumed {restored} coalition utilities for epoch {epoch}"
+                        )
+                    else:
+                        logger.info(
+                            f"ignoring stale utility table for epoch {epoch} "
+                            "(round inputs changed since it was written)"
+                        )
+                ckpt.checkpointed_game(
+                    game, table_path, fingerprint=fp, block=chunk or 8
+                )
         with timer.span("shapley_round"):
             sv, sv_se = run_configured_comp_contrib(
                 game, cfg.shapley,
@@ -258,7 +275,7 @@ def serve(
                 ratio = tm.fedavg_ratio([num_local_data[i] for i in participating])
                 current_overlay = advance(
                     current_overlay,
-                    tm.tree_stack([deltas[i] for i in participating]),
+                    jstack([deltas[i] for i in participating]),
                     ratio,
                 )
                 prev_utility = list(
@@ -275,8 +292,10 @@ def serve(
                         spec,
                     )
         # rendered last so the timing CSV carries every phase above; the
-        # report's own cost shows up in the record's wall_s (PNGs render on
-        # the plot worker thread by default — the loop never waits on them)
+        # report's own (synchronous) cost is recorded as report_s in the
+        # round record (PNGs render on the plot worker thread by default —
+        # the loop never waits on them)
+        t_report = time.time()
         artifacts = render_round_report(
             out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se,
             render_plots=cfg.obs.render_plots,
@@ -285,7 +304,8 @@ def serve(
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,
-                 evals=game.num_evaluations, wall_s=time.time() - t_round)
+                 evals=game.num_evaluations, wall_s=time.time() - t_round,
+                 report_s=time.time() - t_report)
         )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1

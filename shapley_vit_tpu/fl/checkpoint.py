@@ -74,8 +74,13 @@ def fingerprint_inputs(*trees, extra=None) -> str:
     import jax
 
     h = hashlib.blake2b(digest_size=16)
-    for t in trees:
-        for leaf in jax.tree.leaves(t):
+    # ONE batched D2H fetch for every device leaf: a per-leaf np.asarray
+    # costs a tunnel round-trip each (~50 transfers, measured 0.4-0.55 s per
+    # serve round in the persist_setup span) — same lesson as the overlay
+    # export (BENCH_NOTES round 2)
+    fetched = jax.device_get([jax.tree.leaves(t) for t in trees])
+    for leaves in fetched:
+        for leaf in leaves:
             a = np.asarray(leaf)
             h.update(str(a.shape).encode())
             h.update(str(a.dtype).encode())
@@ -93,6 +98,35 @@ def fingerprint_inputs(*trees, extra=None) -> str:
                 h.update(np.sum(flat, axis=1, dtype=np.float64).tobytes())
             else:
                 h.update(b)
+    if extra is not None:
+        h.update(repr(extra).encode())
+    return h.hexdigest()
+
+
+def fingerprint_files(paths, extra=None) -> str:
+    """Digest of a round's inputs from the client CHECKPOINT FILES
+    themselves (zero device traffic — ``fingerprint_inputs`` over the
+    stacked delta tree costs a ~14MB D2H fetch, 0.2s/round through the
+    tunnel; the serve loop uses this instead).
+
+    Covers: per-client file bytes keyed by position (a re-uploaded or
+    permuted checkpoint changes the digest), absent stragglers, and — via
+    ``extra`` — the FedAvg weights, selection vector, and the
+    ``previous_utility`` baseline. The deltas also depend on the CURRENT
+    global overlay; that dependence is captured through ``previous_utility``
+    (the new global's measured utility), which changes whenever the overlay
+    does — pass it in ``extra`` or the staleness check has a hole."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for i, p in enumerate(paths):
+        h.update(f"[{i}]".encode())
+        if p is None or not os.path.exists(p):
+            h.update(b"<absent>")
+            continue
+        with open(p, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
     if extra is not None:
         h.update(repr(extra).encode())
     return h.hexdigest()

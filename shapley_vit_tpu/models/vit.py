@@ -58,6 +58,15 @@ class ViTSpec:
     dtype: str = "float32"         # activation/compute dtype: float32 | bfloat16
     # kernel selection: 'xla' einsum path or 'pallas' fused-attention kernel
     attention_impl: str = "xla"
+    # MLP-block implementation: 'xla' (fused by the compiler) or 'pallas'
+    # (ops/mlp_block.fused_mlp_block — LN2→fc1→GELU→fc2→residual in one
+    # program, the [M, 4D] intermediate never touching HBM). The pallas
+    # path bypasses int8 quant on fc1/fc2; gate via SVT_ENABLE_PALLAS like
+    # attention. On-TPU ledger: BENCH_NOTES.md round 3.
+    mlp_impl: str = "xla"
+    # patch-embedding implementation: 'xla' (_patchify + matmul) or
+    # 'pallas' (ops/patch_embed.patch_embed — fused relayout+projection)
+    patch_impl: str = "xla"
     # GELU flavor: 'exact_f32' (HF parity: erf in f32), 'exact' (erf in the
     # compute dtype), 'tanh' (tanh approximation in the compute dtype — the
     # fast TPU path, −17% forward time at bf16; ablation round 1)
@@ -302,6 +311,27 @@ def _block(x, blk_p, lora_p, spec: ViTSpec):
     eps = spec.layernorm_eps
     y = _layer_norm(x, blk_p["ln1"]["scale"], blk_p["ln1"]["bias"], eps)
     x = x + _attention(y, blk_p["attn"], lora_p, spec)
+    if spec.mlp_impl == "pallas":
+        from shapley_vit_tpu.ops.attention import pallas_enabled, pallas_interpret
+        from shapley_vit_tpu.ops.mlp_block import fused_mlp_block
+
+        if pallas_enabled():
+            B, N, D = x.shape
+            mlp = blk_p["mlp"]
+            dt = spec.compute_dtype
+            out = fused_mlp_block(
+                x.reshape(B * N, D),
+                blk_p["ln2"]["scale"].astype(dt),
+                blk_p["ln2"]["bias"].astype(dt),
+                mlp["fc1"]["kernel"].astype(dt),
+                mlp["fc1"]["bias"].astype(dt),
+                mlp["fc2"]["kernel"].astype(dt),
+                mlp["fc2"]["bias"].astype(dt),
+                eps=eps,
+                approximate_gelu=spec.gelu == "tanh",
+                interpret=pallas_interpret(),
+            )
+            return out.reshape(B, N, D)
     y = _layer_norm(x, blk_p["ln2"]["scale"], blk_p["ln2"]["bias"], eps)
     y = _dense(y, blk_p["mlp"]["fc1"]["kernel"], blk_p["mlp"]["fc1"]["bias"], spec, "fc1")
     if spec.gelu == "exact_f32":  # HF parity: erf GELU with f32 compute
@@ -328,8 +358,25 @@ def vit_forward(
     classifier head are applied (peft ``modules_to_save`` replaces the head).
     """
     dt = spec.compute_dtype
-    x = _patchify(images.astype(dt), spec.patch)
-    x = _dense(x, base["patch_embed"]["kernel"], base["patch_embed"]["bias"], spec, "patch")
+    use_pallas_patch = False
+    if spec.patch_impl == "pallas":
+        from shapley_vit_tpu.ops.attention import pallas_enabled
+
+        use_pallas_patch = pallas_enabled()
+    if use_pallas_patch:
+        from shapley_vit_tpu.ops.attention import pallas_interpret
+        from shapley_vit_tpu.ops.patch_embed import patch_embed
+
+        x = patch_embed(
+            images.astype(dt),
+            base["patch_embed"]["kernel"].astype(dt),
+            base["patch_embed"]["bias"].astype(dt),
+            spec.patch,
+            interpret=pallas_interpret(),
+        )
+    else:
+        x = _patchify(images.astype(dt), spec.patch)
+        x = _dense(x, base["patch_embed"]["kernel"], base["patch_embed"]["bias"], spec, "patch")
     B = x.shape[0]
     cls = jnp.broadcast_to(base["cls_token"].astype(dt), (B, 1, spec.hidden))
     x = jnp.concatenate([cls, x], axis=1)

@@ -164,10 +164,21 @@ def fused_attention_packed(q, k, v, heads: int, interpret: bool = False):
 def pallas_enabled() -> bool:
     """TPU Pallas path gate. Opt-in via SVT_ENABLE_PALLAS=1: this container
     routes Mosaic compiles through a remote service that can stall for
-    minutes, so the XLA path is the default until the kernel is warmed."""
+    minutes, so the XLA path is the default until the kernel is warmed.
+    SVT_PALLAS_INTERPRET=1 enables the path on ANY backend through the
+    Pallas interpreter — the CPU wiring-correctness tests use it."""
     import os
 
+    if os.environ.get("SVT_PALLAS_INTERPRET", "0") == "1":
+        return True
     return os.environ.get("SVT_ENABLE_PALLAS", "0") == "1" and jax.default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """Whether gated Pallas call sites should run the interpreter."""
+    import os
+
+    return os.environ.get("SVT_PALLAS_INTERPRET", "0") == "1"
 
 
 @jax.custom_vjp

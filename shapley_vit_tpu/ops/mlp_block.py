@@ -29,7 +29,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                *, eps: float, rows: int):
+                *, eps: float, rows: int, approximate_gelu: bool):
     x = x_ref[:].astype(jnp.float32)                 # [T, D]
     # LayerNorm (f32 stats, matching models/vit._layer_norm)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -41,7 +41,10 @@ def _mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         y.astype(w1_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[:].astype(jnp.float32)                # [T, M]
-    h = jax.nn.gelu(h, approximate=False)            # exact GELU (HF parity)
+    # exact erf GELU for HF parity; tanh for the fast-eval mode (matches
+    # models/vit._block's spec.gelu flavors — the f32 h makes exact here
+    # equivalent to 'exact_f32')
+    h = jax.nn.gelu(h, approximate=approximate_gelu)
 
     out = jax.lax.dot_general(
         h.astype(w2_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
@@ -56,6 +59,7 @@ def fused_mlp_block(
     x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
     eps: float = 1e-12, block_rows: int = 256, interpret: bool = False,
+    approximate_gelu: bool = False,
 ) -> jax.Array:
     """``x [M, D] -> x + MLP(LN(x))`` with the [M, 4D] intermediate never
     touching HBM. Weights use their input dtype on the MXU with f32
@@ -67,7 +71,10 @@ def fused_mlp_block(
     grid = (m_pad // block_rows,)
 
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps, rows=block_rows),
+        functools.partial(
+            _mlp_kernel, eps=eps, rows=block_rows,
+            approximate_gelu=approximate_gelu,
+        ),
         out_shape=jax.ShapeDtypeStruct((m_pad, D), x.dtype),
         grid=grid,
         in_specs=[

@@ -305,3 +305,36 @@ def test_checkpointed_game_persists_per_block(tmp_path):
     assert ckpt.resume_game(game2, path) == 4
     game2.precompute(coalitions)
     assert game2.num_evaluations == 2  # only the lost block re-evaluates
+
+
+def test_fingerprint_files_sensitivity(tmp_path):
+    """serve()'s zero-device-traffic round fingerprint: any change to a
+    checkpoint file, client ordering, straggler set, or the extra (FedAvg
+    weights / prev_utility baseline) must change the digest."""
+    from shapley_vit_tpu.fl import checkpoint as ckpt
+
+    p1, p2 = str(tmp_path / "c1.npz"), str(tmp_path / "c2.npz")
+    for p, seed in ((p1, 1), (p2, 2)):
+        with open(p, "wb") as f:
+            f.write(bytes([seed]) * 4096)
+    extra = ([10.0, 20.0], [True, True], ["0.5", "1.25"])
+
+    base = ckpt.fingerprint_files([p1, p2], extra=extra)
+    assert base == ckpt.fingerprint_files([p1, p2], extra=extra)  # stable
+    # permuted client files (two clients' checkpoints land in each other's
+    # directories) -> different
+    assert base != ckpt.fingerprint_files([p2, p1], extra=extra)
+    # straggler (absent file) -> different
+    assert base != ckpt.fingerprint_files([p1, None], extra=extra)
+    assert base != ckpt.fingerprint_files([p1, str(tmp_path / "nope.npz")], extra=extra)
+    # re-uploaded (changed) checkpoint -> different
+    with open(p2, "ab") as f:
+        f.write(b"x")
+    assert base != ckpt.fingerprint_files([p1, p2], extra=extra)
+    # changed baseline/weights ride through extra
+    extra2 = ([10.0, 20.0], [True, True], ["0.5", "1.2500001"])
+    with open(p2, "rb+") as f:
+        pass
+    assert ckpt.fingerprint_files([p1], extra=extra) != ckpt.fingerprint_files(
+        [p1], extra=extra2
+    )

@@ -120,3 +120,47 @@ def test_vit_pallas_spec_flag_cpu_fallback(rng):
     out_x = np.asarray(jvit.vit_forward(base, None, x, spec_x))
     out_p = np.asarray(jvit.vit_forward(base, None, x, spec_p))
     np.testing.assert_allclose(out_x, out_p, atol=1e-5)
+
+
+def test_vit_mlp_patch_pallas_wiring_interpret(rng, monkeypatch):
+    """mlp_impl/patch_impl='pallas' run IN the ViT forward (interpreter via
+    SVT_PALLAS_INTERPRET=1) and match the XLA path — the wiring contract the
+    on-TPU ledger run (BENCH_NOTES round 3) relies on."""
+    from shapley_vit_tpu.models import vit as jvit
+
+    spec_x = jvit.make_spec("micro")
+    base = jvit.init_vit(jax.random.key(0), spec_x)
+    lora = jvit.init_lora(jax.random.key(1), spec_x, classifier_from=base)
+    x = np.asarray(rng.normal(size=(2, 16, 16, 3)), np.float32)
+    want = np.asarray(jvit.vit_forward(base, lora, x, spec_x))
+
+    monkeypatch.setenv("SVT_PALLAS_INTERPRET", "1")
+    for impl in (
+        spec_x.replace(mlp_impl="pallas"),
+        spec_x.replace(patch_impl="pallas"),
+        spec_x.replace(mlp_impl="pallas", patch_impl="pallas"),
+    ):
+        got = np.asarray(jvit.vit_forward(base, lora, x, impl))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # without the interpret escape, CPU falls back to XLA silently
+    monkeypatch.delenv("SVT_PALLAS_INTERPRET")
+    got = np.asarray(
+        jvit.vit_forward(base, lora, x, spec_x.replace(mlp_impl="pallas"))
+    )
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_vit_mlp_pallas_tanh_gelu_interpret(rng, monkeypatch):
+    """The fused MLP kernel honors the fast-eval tanh GELU flavor."""
+    from shapley_vit_tpu.models import vit as jvit
+
+    spec_t = jvit.make_spec("micro", gelu="tanh")
+    base = jvit.init_vit(jax.random.key(0), spec_t)
+    x = np.asarray(rng.normal(size=(2, 16, 16, 3)), np.float32)
+    want = np.asarray(jvit.vit_forward(base, None, x, spec_t))
+    monkeypatch.setenv("SVT_PALLAS_INTERPRET", "1")
+    got = np.asarray(
+        jvit.vit_forward(base, None, x, spec_t.replace(mlp_impl="pallas"))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -122,6 +122,7 @@ def main():
                     if row["span"] == "shapley_round":
                         span_times.append(float(row["total_s"]))
     full_times = [r["wall_s"] for r in records]
+    report_times = [r.get("report_s", 0.0) for r in records]
 
     def steady_eps(times):
         # round 0 pays the compiles; "steady state" needs >= 2 rounds —
@@ -140,6 +141,16 @@ def main():
         "steady_state_evals_per_s_eval_span": steady_eps(span_times),
         "steady_state_evals_per_s_full_round": steady_eps(full_times),
         "phase_s": {k: [round(t, 2) for t in v] for k, v in sorted(phases.items())},
+        "report_s": [round(t, 2) for t in report_times],
+        # wall minus every accounted phase: dispatch overhead, logging, the
+        # straggler-policy bookkeeping — should be small; if it grows, add a
+        # span for whatever grew
+        "unaccounted_s": [
+            round(
+                w - rep - sum(v[i] for v in phases.values() if i < len(v)), 2
+            )
+            for i, (w, rep) in enumerate(zip(full_times, report_times))
+        ],
         "quant": cfg.model.quant,
         "val_size": args.val_size,
         "artifacts": tmp,
