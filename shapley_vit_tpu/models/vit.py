@@ -316,6 +316,8 @@ def _block(x, blk_p, lora_p, spec: ViTSpec):
         from shapley_vit_tpu.ops.mlp_block import fused_mlp_block
 
         if pallas_enabled():
+            import os as _os
+
             B, N, D = x.shape
             mlp = blk_p["mlp"]
             dt = spec.compute_dtype
@@ -329,6 +331,8 @@ def _block(x, blk_p, lora_p, spec: ViTSpec):
                 mlp["fc2"]["bias"].astype(dt),
                 eps=eps,
                 approximate_gelu=spec.gelu == "tanh",
+                # token-tile sweep knob for the perf ledger
+                block_rows=int(_os.environ.get("SVT_MLP_BLOCK_ROWS", "256")),
                 interpret=pallas_interpret(),
             )
             return out.reshape(B, N, D)

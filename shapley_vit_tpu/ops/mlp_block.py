@@ -11,7 +11,15 @@ VMEM budget per program (ViT-B, bf16): W1+W2 ≈ 9.4MB + x/h tiles ≈ 2MB —
 comfortably under the ~16MB/core budget. Token tiles of 256 rows.
 
 Gated like the attention kernel (SVT_ENABLE_PALLAS); interpret-mode tests
-prove numerics on CPU.
+prove numerics on CPU; ``ViTSpec.mlp_impl="pallas"`` wires it into the
+forward.
+
+MEASURED ON TPU (round 3, tools/pallas_ledger.py): in-ViT forward at
+B=128/224px/bf16 runs 1.02-1.07x SLOWER than XLA at 256/512/1024-token
+tiles. The eval path is compute-bound (BENCH_NOTES round 2: 108-125
+TFLOP/s effective vs the chip's 121-142 peak), so saving the [M, 4D] HBM
+round-trip buys nothing while Mosaic loses XLA's tuned epilogue fusion.
+Kept for study; off by default — same verdict as the attention kernels.
 """
 
 from __future__ import annotations

@@ -9,6 +9,14 @@ patches from VMEM, reshapes in-register, and runs the projection on the MXU.
 Mostly a demonstration kernel — XLA already fuses this well — but it keeps
 the patchify layout contract in one tested place and removes one HBM
 round-trip at large batch.
+
+MEASURED ON TPU (round 3, tools/pallas_ledger.py): does NOT compile at
+production shapes — the Mosaic toolchain crashes lowering the in-kernel
+patchify relayout (reshape + 5-D transpose) at 224px, and the earlier
+row-of-patches blocking is rejected by the block-shape rule
+(second-to-last dim 14 % 8 != 0). Interpreter-verified only; the XLA
+``_patchify`` + matmul path is the product. Off by default
+(``ViTSpec.patch_impl``).
 """
 
 from __future__ import annotations
@@ -21,12 +29,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _patch_embed_kernel(img_ref, w_ref, b_ref, o_ref, *, patch: int, gw: int, C: int):
-    # img_ref: [1, patch, W, C] — one row of patches of one image
-    img = img_ref[0]                                    # [patch, W, C]
-    ph, W, _ = img.shape
-    # [patch, gw, patch, C] -> [gw, patch, patch, C] -> [gw, patch*patch*C]
-    x = img.reshape(ph, gw, patch, C).transpose(1, 0, 2, 3).reshape(gw, patch * patch * C)
+def _patch_embed_kernel(img_ref, w_ref, b_ref, o_ref, *, patch: int, gh: int,
+                        gw: int, C: int):
+    # img_ref: [1, H, W, C] — one whole image per program. Full-image
+    # blocks keep the trailing block dims equal to the array dims, which
+    # the Mosaic lowering requires (a row-of-patches block has a
+    # grid-width second-to-last dim, e.g. 14 for ViT-B/224 — not divisible
+    # by 8, rejected by the TPU lowering).
+    img = img_ref[0]                                    # [H, W, C]
+    # [gh, p, gw, p, C] -> [gh, gw, p, p, C] -> [N, p*p*C]  (HF ordering)
+    x = img.reshape(gh, patch, gw, patch, C).transpose(0, 2, 1, 3, 4).reshape(
+        gh * gw, patch * patch * C
+    )
     o_ref[0] = (
         jax.lax.dot_general(
             x.astype(w_ref.dtype), w_ref[:], (((1,), (0,)), ((), ())),
@@ -45,20 +59,20 @@ def patch_embed(
     B, H, W, C = images.shape
     gh, gw = H // patch, W // patch
     D = kernel.shape[1]
-    grid = (B, gh)
+    grid = (B,)
 
     out = pl.pallas_call(
-        functools.partial(_patch_embed_kernel, patch=patch, gw=gw, C=C),
+        functools.partial(_patch_embed_kernel, patch=patch, gh=gh, gw=gw, C=C),
         out_shape=jax.ShapeDtypeStruct((B, gh * gw, D), images.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, patch, W, C), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((patch * patch * C, D), lambda b, r: (0, 0),
+            pl.BlockSpec((patch * patch * C, D), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D,), lambda b, r: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, gw, D), lambda b, r: (b, r, 0),
+        out_specs=pl.BlockSpec((1, gh * gw, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(images, kernel, bias)

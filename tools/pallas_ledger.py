@@ -47,11 +47,17 @@ def main():
         )
     )
 
+    # patch_pallas is OFF by default: the Mosaic toolchain crashes lowering
+    # the in-kernel patchify relayout at 224px (HTTP 500 from the remote
+    # compiler, traced to the reshape/transpose — BENCH_NOTES round 3)
     variants = {
         "xla": dict(),
         "mlp_pallas": dict(mlp_impl="pallas"),
-        "patch_pallas": dict(patch_impl="pallas"),
+        "mlp_pallas_rows512": dict(mlp_impl="pallas", _env={"SVT_MLP_BLOCK_ROWS": "512"}),
+        "mlp_pallas_rows1024": dict(mlp_impl="pallas", _env={"SVT_MLP_BLOCK_ROWS": "1024"}),
     }
+    if os.environ.get("SVT_LEDGER_PATCH") == "1":
+        variants["patch_pallas"] = dict(patch_impl="pallas")
     base_spec = jvit.make_spec("base", num_classes=4, dtype="bfloat16", gelu="tanh")
     base = jvit.init_vit(jax.random.key(0), base_spec)
     rng = np.random.default_rng(0)
@@ -62,6 +68,10 @@ def main():
 
     results = {}
     for name, over in variants.items():
+        over = dict(over)
+        env = over.pop("_env", {})
+        for k, v in env.items():
+            os.environ[k] = v
         spec = base_spec.replace(**over)
 
         @jax.jit
@@ -82,13 +92,16 @@ def main():
             "fwd_ms": round(dt * 1e3, 2),
             "compile_s": round(compile_s, 1),
         }
-        print(f"{name:14s} fwd={dt * 1e3:7.2f} ms (compile {compile_s:.0f}s)",
+        print(f"{name:20s} fwd={dt * 1e3:7.2f} ms (compile {compile_s:.0f}s)",
               flush=True)
+        for k in env:
+            os.environ.pop(k, None)
 
-    for k in ("mlp_pallas", "patch_pallas"):
-        results[k]["vs_xla"] = round(
-            results[k]["fwd_ms"] / results["xla"]["fwd_ms"], 3
-        )
+    for k in results:
+        if k != "xla":
+            results[k]["vs_xla"] = round(
+                results[k]["fwd_ms"] / results["xla"]["fwd_ms"], 3
+            )
     print(json.dumps({"batch": args.batch, "reps": args.reps, "results": results}))
 
 
