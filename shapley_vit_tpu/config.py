@@ -136,6 +136,12 @@ class ModelConfig:
     # measured-best target set; +8% eval throughput on v5e with 100%
     # trained-model argmax agreement, tools/quant_agreement.py)
     quant: str = "none"
+    # coalition-eval execution mode: "merged" folds each coalition's LoRA
+    # into dense q/v kernels before the forward (bench.py's fastest config;
+    # +9% over the overlay path at the service protocol,
+    # tools/merged_probe.py) — "overlay" keeps the rank-16 two-matmul path
+    # (the pre-round-3 behavior; also what non-LoRA/full-delta configs use)
+    eval_mode: str = "merged"
 
 
 @dataclass

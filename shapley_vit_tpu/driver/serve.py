@@ -22,11 +22,8 @@ import numpy as np
 from shapley_vit_tpu.config import Config
 from shapley_vit_tpu.driver import report as report_mod
 from shapley_vit_tpu.driver.report import render_round_report
-from shapley_vit_tpu.fl import evaluation as ev
 from shapley_vit_tpu.fl import ingestion
-from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
-from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import get_logger
@@ -75,22 +72,11 @@ def serve(
     if valid is None:
         valid = start_mod.load_validation_dataset(cfg, target_size=spec.image)
 
-    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
-        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
-    )
-    # device-count-gated: >1 visible device shards coalition eval over a
-    # (coalition, data) mesh (the reference's always-on DataParallel,
-    # start.py:283, done TPU-right); one device is bit-identical to the
-    # single-chip evaluator
-    backend = make_eval_backend(
-        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=chunk,
-        pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # no padding tax on the dominant full-powerset batches (+16%
-        # measured, serve_profile.py)
-        shape_hints=ev.powerset_shape_hints(n),
-        dist_cfg=cfg.dist,
-        log_fn=logger.info,
+    # device-count-gated mesh sharding (the reference's always-on
+    # DataParallel, start.py:283, done TPU-right) + eval_mode selection
+    # (merged LoRA folding, measured +9% — tools/merged_probe.py)
+    backend, mat, chunk = start_mod.build_eval_backend(
+        cfg, spec, base, init_lora, log_fn=logger.info
     )
     evaluator = backend.evaluate
     data = backend.device_batches(valid, cfg.data.eval_batch_size)
@@ -101,7 +87,6 @@ def serve(
     logger.info(f"service up: initial utility {prev_utility}")
     import jax
 
-    mat = jax.jit(tm.materialize_coalitions)
     jstack = jax.jit(tm.tree_stack)
     # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
     # dispatch each (~3.5 ms through the tunnel ⇒ measured 1.8 s/round) —

@@ -39,7 +39,6 @@ from shapley_vit_tpu.fl.client import EvalClient
 from shapley_vit_tpu.fl.server import EvalServer
 from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
-from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import CSVLogger, get_logger
@@ -88,6 +87,63 @@ def build_model(cfg: Config, key=None):
     return spec, base, lora
 
 
+def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
+    """Mode-dependent evaluation surface shared by the drivers.
+
+    ``cfg.model.eval_mode``:
+      * ``"merged"`` (default) — fold each coalition's LoRA into dense q/v
+        kernels before the forward (``jvit.merge_coalition_weights`` +
+        ``vit_forward_merged``, bench.py's fastest configuration; measured
+        +9% over the overlay path at the service protocol,
+        tools/merged_probe.py). Single-model evals ride the same path as a
+        C=1 stack.
+      * ``"overlay"`` — the rank-16 two-matmul LoRA path (pre-round-3
+        behavior).
+
+    Returns ``(backend, mat, chunk)`` where ``mat(overlay, stacked_deltas,
+    W) -> varying tree`` feeds ``backend.evaluate``.
+    """
+    import jax
+
+    from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
+
+    n = cfg.shapley.num_clients
+    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
+        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
+    )
+    mode = cfg.model.eval_mode
+    if mode not in ("merged", "overlay"):
+        raise ValueError(f"model.eval_mode must be 'merged' or 'overlay', got {mode!r}")
+    if mode == "merged":
+        fwd = lambda b, m, x: jvit.vit_forward_merged(b, m, x, spec)
+        # base threaded as an ARGUMENT (a closure would embed 343MB of
+        # weights in the compile payload — see fl/evaluation docstring)
+        matm = jax.jit(
+            lambda b, o, s, W: jvit.merge_coalition_weights(
+                b, tm.materialize_coalitions(o, s, W), spec
+            )
+        )
+        mat = lambda o, s, W: matm(base, o, s, W)
+        zero1 = tm.tree_stack([tm.tree_zeros_like(init_lora)])
+        W1 = np.zeros((1, 1), np.float32)
+        stack_single = lambda overlay: mat(overlay, zero1, W1)
+    else:
+        fwd = lambda b, l, x: jvit.vit_forward(b, l, x, spec)
+        mat = jax.jit(tm.materialize_coalitions)
+        stack_single = None
+    backend = make_eval_backend(
+        fwd,
+        coalition_chunk=chunk,
+        pad_buckets=True,  # per-round coalition counts vary; bound compiles
+        # no padding tax on the dominant full-powerset batches
+        shape_hints=ev.powerset_shape_hints(n),
+        dist_cfg=cfg.dist,
+        log_fn=log_fn,
+        stack_single=stack_single,
+    )
+    return backend, mat, chunk
+
+
 def load_validation_dataset(cfg: Config, target_size: Optional[int] = None) -> ArrayDataset:
     """OCT validation data via the .env path (reference getOCTData2,
     start.py:51-56) with synthetic fallback for offline runs. Images are
@@ -130,20 +186,11 @@ def get_initial_shapley_value(
     n = cfg.shapley.num_clients
     utility_dim = cfg.shapley.utility_dim
 
-    chunk = cfg.shapley.coalition_chunk or ev.suggest_coalition_chunk(
-        spec.seq_len, spec.hidden, cfg.data.eval_batch_size
-    )
-    # device-count-gated: >1 visible device shards eval over a (coalition,
-    # data) mesh — the reference's always-on DataParallel (start.py:283)
-    # done TPU-right; one device is bit-identical to the single-chip path
-    backend = make_eval_backend(
-        lambda b, l, x: jvit.vit_forward(b, l, x, spec),
-        coalition_chunk=chunk,
-        pad_buckets=True,  # per-round coalition counts vary; bound compiles
-        # no padding tax on the dominant full-powerset batches
-        shape_hints=ev.powerset_shape_hints(n),
-        dist_cfg=cfg.dist,
-        log_fn=logger.info,
+    # device-count-gated mesh sharding (the reference's always-on
+    # DataParallel, start.py:283, done TPU-right) + eval_mode selection
+    # (merged LoRA folding, measured +9%)
+    backend, mat, chunk = build_eval_backend(
+        cfg, spec, base, init_lora, log_fn=logger.info
     )
     data = backend.device_batches(valid, cfg.data.eval_batch_size)
 
@@ -207,13 +254,10 @@ def get_initial_shapley_value(
     stacked = tm.tree_stack([
         d if d is not None else tm.tree_zeros_like(init_lora) for d in deltas
     ])
-    import jax
-
-    mat = jax.jit(tm.materialize_coalitions)
 
     def eval_coalitions_fn(W: np.ndarray) -> np.ndarray:
-        stacked_lora = mat(init_lora, stacked, W)
-        return backend.evaluate(base, stacked_lora, data, dataset_size=len(valid))
+        varying = mat(init_lora, stacked, W)
+        return backend.evaluate(base, varying, data, dataset_size=len(valid))
 
     game = Game(
         eval_coalitions_fn=eval_coalitions_fn,

@@ -234,9 +234,17 @@ class EvalBackend:
         pad_buckets: bool = False,
         shape_hints: Sequence[int] = (),
         mesh: Optional[Mesh] = None,
+        stack_single: Optional[Callable[[PyTree], PyTree]] = None,
     ):
         self.mesh = mesh
         self._forward_fn = forward_fn
+        # ``stack_single`` maps one model's overlay to a C=1 stacked varying
+        # tree for forward_fn — needed when forward_fn does NOT take the
+        # overlay directly (e.g. merged-weights mode, where the varying tree
+        # is the folded q/v kernels). None = forward_fn(shared, overlay, x)
+        # works as-is and single-model evals keep the plain evaluate_model
+        # path (bit-identical to the pre-backend drivers on one device).
+        self._stack_single = stack_single
         # one stable single-model forward per backend: fl.evaluation caches
         # the jitted eval step per-callable, so this must not be a fresh
         # lambda per call
@@ -280,7 +288,15 @@ class EvalBackend:
     ) -> Tuple[float, float]:
         """Single-model (accuracy, mean_loss) through the backend's layout:
         ``evaluate_model`` on one chip, a C=1 coalition stack on a mesh (the
-        batch still shards over ``data``, so the pass uses every chip)."""
+        batch still shards over ``data``, so the pass uses every chip). With
+        ``stack_single`` set, the C=1 path is used everywhere (the overlay
+        cannot be fed to forward_fn directly)."""
+        if self._stack_single is not None:
+            row = self.evaluate(
+                shared, self._stack_single(varying), batches,
+                dataset_size=dataset_size,
+            )[0]
+            return float(row[0]), float(row[1])
         if self.mesh is None:
             from shapley_vit_tpu.fl.evaluation import evaluate_model
 
@@ -303,6 +319,7 @@ def make_eval_backend(
     dist_cfg=None,
     devices=None,
     log_fn: Optional[Callable[[str], None]] = None,
+    stack_single: Optional[Callable[[PyTree], PyTree]] = None,
 ) -> EvalBackend:
     """Device-count-gated backend factory for the drivers.
 
@@ -335,4 +352,5 @@ def make_eval_backend(
         pad_buckets=pad_buckets,
         shape_hints=shape_hints,
         mesh=mesh,
+        stack_single=stack_single,
     )

@@ -251,6 +251,44 @@ def test_serve_sharded_matches_single_device(cfg):
             )
 
 
+def test_serve_merged_matches_overlay_eval_mode(cfg):
+    """model.eval_mode='merged' (the +9% default: LoRA folded into dense
+    q/v kernels) must produce the same utilities and SVs as the overlay
+    path — identical math, different execution (merge uses
+    precision='highest', the SV parity bar)."""
+    import importlib
+    import shutil
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    # f32 parity mode: at the default bf16 the two paths differ by bf16
+    # rounding of the folded weights (measured ~7e-5 on utilities — the
+    # usual fast-eval-contract territory); in f32 they must agree tightly
+    cfg.model.compute_dtype = "float32"
+    spec, base, init_lora = start_mod.build_model(cfg)
+
+    assert cfg.model.eval_mode == "merged"  # the default
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    r_merged = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+
+    shutil.rmtree(cfg.obs.exp_dir, ignore_errors=True)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    cfg.model.eval_mode = "overlay"
+    r_overlay = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+
+    np.testing.assert_allclose(
+        r_merged[0]["utility"], r_overlay[0]["utility"], atol=1e-5
+    )
+    for d in range(2):
+        for c in range(3):
+            assert r_merged[0]["shapley"][d][c] == pytest.approx(
+                r_overlay[0]["shapley"][d][c], abs=1e-5
+            )
+
+    cfg.model.eval_mode = "bogus"
+    with pytest.raises(ValueError):
+        start_mod.build_eval_backend(cfg, spec, base, init_lora)
+
+
 def test_serve_prewarm_keeps_results_identical(cfg):
     """Prewarm only moves compiles; round results must be unchanged."""
     import importlib

@@ -73,11 +73,10 @@ def main():
     print(f"f32 accuracy: {(ref.argmax(1) == ys).mean() * 100:.1f}%", flush=True)
 
     failed = []
-    for name, kw in MODES.items():
-        sp = spec_bf.replace(**kw)
-        f = jax.jit(lambda b, l, x, sp=sp: jvit.vit_forward(b, l, x, sp))
+
+    def check(name, logits_fn):
         lq = np.concatenate(
-            [np.asarray(f(base, lora, xs[i : i + 128])) for i in range(0, 512, 128)]
+            [np.asarray(logits_fn(xs[i : i + 128])) for i in range(0, 512, 128)]
         )
         agree = (lq.argmax(1) == ref.argmax(1)).mean()
         drift = np.abs(lq - ref).max()
@@ -88,6 +87,29 @@ def main():
             f"{status} {name:28s} agreement {agree * 100:.2f}%  max drift {drift:.4f}",
             flush=True,
         )
+
+    for name, kw in MODES.items():
+        sp = spec_bf.replace(**kw)
+        f = jax.jit(lambda b, l, x, sp=sp: jvit.vit_forward(b, l, x, sp))
+        check(name, lambda xb, f=f: f(base, lora, xb))
+
+    # merged-weights execution — the serve/start default
+    # (model.eval_mode="merged" + int8 bench targets): LoRA folded into
+    # dense q/v kernels at bf16, then the same quantized forward
+    from shapley_vit_tpu.ops import tree_math as tm
+
+    sp = spec_bf.replace(quant="int8", quant_targets=jvit.INT8_TARGETS)
+    merged = jvit.merge_coalition_weights(
+        base,
+        tm.materialize_coalitions(
+            lora, tm.tree_stack([tm.tree_zeros_like(lora)]),
+            np.zeros((1, 1), np.float32),
+        ),
+        sp,
+    )
+    m1 = jax.tree.map(lambda a: a[0], merged)
+    fm = jax.jit(lambda b, m, x: jvit.vit_forward_merged(b, m, x, sp))
+    check("merged_int8 (serve mode)", lambda xb: fm(base, m1, xb))
     if failed:
         raise SystemExit(f"agreement below {BAR:.0%} for: {failed}")
     print("all fast-eval modes meet the agreement contract")
