@@ -137,8 +137,12 @@ def suggest_coalition_chunk(
     analysis — calibrated on ViT-B/224 @ B=128, where chunk 16 fits a 16GB
     v5e and 101 coalitions OOM). Always returns >= 1; the evaluator only
     splits when the coalition count exceeds the returned chunk, so a large
-    return value means "no chunking needed". The multiplier is a single-point
-    fit — recalibrate if batch or image size changes materially.
+    return value means "no chunking needed". Validated against the
+    compiler's own memory_analysis at TWO points (tools/chunk_calibration.py,
+    BENCH_NOTES round 3): ViT-B/B=128 suggests 12 vs compiler max 34,
+    ViT-L/B=128 suggests 9 vs 25 — conservative with ~2.8x margin at both,
+    deliberately kept (the margin absorbs fragmentation and the resident
+    validation set, and under-chunking costs nothing measurable).
     ``hbm_bytes=None`` reads the device's reported memory limit (falls back
     to the 16GB v5e figure when the backend reports none)."""
     if hbm_bytes is None:
