@@ -55,7 +55,8 @@ CONFIGS = {
 }
 
 
-def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0) -> dict:
+def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0,
+               eval_mode: str = "overlay") -> dict:
     import jax
 
     # persistent executable cache: MC estimators submit several coalition-
@@ -171,6 +172,29 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
                 {}, mat_cast(base, stacked, W), data, dataset_size=val_size
             )
 
+    elif eval_mode == "merged":
+        # the drivers' default execution (model.eval_mode="merged"): LoRA
+        # folded into dense per-coalition q/v kernels — measured +9% at the
+        # C=7/batch-128 service shape (tools/merged_probe.py); this flag
+        # measures it at the MC/GTG/Fed-SV chunk shapes
+        backend = make_eval_backend(
+            lambda b, m, x: jvit.vit_forward_merged(b, m, x, eval_spec),
+            coalition_chunk=chunk,
+        )
+        data = backend.device_batches(
+            ArrayDataset(images=host_images, labels=host_labels), batch
+        )
+        matm = jax.jit(
+            lambda b, o, s, W: jvit.merge_coalition_weights(
+                b, tm.materialize_coalitions(o, s, W), eval_spec
+            )
+        )
+
+        def eval_fn(W):
+            return backend.evaluate(
+                base, matm(base, lora0, stacked, W), data, dataset_size=val_size
+            )
+
     else:
         # NOTE: pad_buckets measured a wash here — each coalition eval is
         # ~0.2s of ViT compute, so varying-C recompiles are amortized by the
@@ -231,6 +255,7 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         "model": f"ViT-{cfg['variant']}/{spec.patch}",
         "clients": n,
         "estimator": cfg["estimator"],
+        "eval_mode": "full_delta" if cfg.get("full_delta") else eval_mode,
         "val_size": val_size,
         "distinct_coalition_evals": game.num_evaluations,
         "wall_clock_s": round(wall, 2),
@@ -302,12 +327,13 @@ def main():
     # --batch always wins
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--eval-mode", choices=("overlay", "merged"), default="overlay")
     args = p.parse_args()
 
     configs = sorted(CONFIGS) if args.all else [args.config]
     results = []
     for idx in configs:
-        res = run_config(idx, args.val_size, args.batch)
+        res = run_config(idx, args.val_size, args.batch, eval_mode=args.eval_mode)
         print(json.dumps(res))
         results.append(res)
     if args.out:

@@ -263,11 +263,26 @@ def serve(
                     jstack([deltas[i] for i in participating]),
                     ratio,
                 )
-                prev_utility = list(
-                    backend.evaluate_single(
-                        base, current_overlay, data, dataset_size=len(valid)
+                # the grand coalition's memoized utility IS the new global's:
+                # materialize(overlay, stacked, W_full) with the FedAvg row
+                # equals advance()'s overlay (same ratios, same linear
+                # algebra), and the memo stores its utility as a delta vs
+                # this round's baseline. Reusing it skips a full validation
+                # pass (~0.19 s/round); the estimator evaluates the grand
+                # coalition in virtually every round (always, for exact /
+                # full-powerset rounds) — the eval below is the fallback.
+                grand = frozenset(participating)
+                if grand in game.utility:
+                    prev_utility = [
+                        game.utility[grand][i] + prev_utility[i]
+                        for i in range(cfg.shapley.utility_dim)
+                    ]
+                else:
+                    prev_utility = list(
+                        backend.evaluate_single(
+                            base, current_overlay, data, dataset_size=len(valid)
+                        )
                     )
-                )
                 if cfg.paths.global_model_path:
                     ingestion.save_lora_checkpoint(
                         os.path.join(

@@ -16,6 +16,15 @@ def test_config1_exact_tiny():
     assert res["coalition_evals_per_s"] > 0
 
 
+def test_config1_merged_eval_mode():
+    """--eval-mode merged (the drivers' default execution) runs the suite
+    configs through the folded-weights forward."""
+    res = run_config(1, val_size=32, batch=16, eval_mode="merged")
+    assert res["eval_mode"] == "merged"
+    assert res["distinct_coalition_evals"] == 7
+    assert res["coalition_evals_per_s"] > 0
+
+
 def test_config4_gtg_dirichlet_sizes():
     # micro-ize by monkeypatching the variant to keep CI fast
     from benchmarks import run as br

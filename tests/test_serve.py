@@ -251,6 +251,35 @@ def test_serve_sharded_matches_single_device(cfg):
             )
 
 
+def test_serve_reused_grand_utility_matches_direct_eval(cfg):
+    """Round chaining reuses the grand coalition's memoized utility as the
+    new global's utility (skipping a validation pass). It must equal a
+    direct evaluation of the exported global overlay."""
+    import importlib
+
+    from shapley_vit_tpu.fl import evaluation as ev_mod
+    from shapley_vit_tpu.fl import ingestion as ing
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+
+    gpath = os.path.join(cfg.paths.global_model_path, "ViT_global_epoch_0.npz")
+    overlay = ing.load_client_lora(gpath, spec)
+    valid = start_mod.load_validation_dataset(cfg, target_size=spec.image)
+    from shapley_vit_tpu.data.arrays import device_batches
+    from shapley_vit_tpu.models import vit as jvit
+
+    acc, loss = ev_mod.evaluate_model(
+        lambda p, x: jvit.vit_forward(p[0], p[1], x, spec),
+        (base, overlay),
+        device_batches(valid, cfg.data.eval_batch_size),
+        dataset_size=len(valid),
+    )
+    np.testing.assert_allclose(records[0]["utility"], [acc, loss], atol=1e-4)
+
+
 def test_serve_merged_matches_overlay_eval_mode(cfg):
     """model.eval_mode='merged' (the +9% default: LoRA folded into dense
     q/v kernels) must produce the same utilities and SVs as the overlay
