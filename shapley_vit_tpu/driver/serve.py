@@ -26,7 +26,7 @@ from shapley_vit_tpu.fl import ingestion
 from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
-from shapley_vit_tpu.utils.logging import get_logger
+from shapley_vit_tpu.utils.logging import TensorBoardWriter, get_logger
 from shapley_vit_tpu.utils.profiling import StepTimer
 
 
@@ -128,6 +128,14 @@ def serve(
             f"batch shape(s) compiled in {time.time() - t0:.1f}s"
         )
 
+    # TensorBoard backend for the reference's --use-tensorboard flag (dead
+    # in the reference, opts.py:70-72): per-round SV/SE/utility/phase
+    # scalars under <exp_dir>/<exp_id>/tensorboard
+    tb = (
+        TensorBoardWriter(os.path.join(out_dir, "tensorboard"))
+        if cfg.obs.use_tensorboard
+        else None
+    )
     records: List[Dict] = []
     epoch = start_epoch
     skipped = 0
@@ -307,8 +315,19 @@ def serve(
                  evals=game.num_evaluations, wall_s=time.time() - t_round,
                  report_s=time.time() - t_report)
         )
+        if tb is not None:
+            tb.log_round(
+                epoch, sv, se=sv_se, utility=prev_utility,
+                wall_s=records[-1]["wall_s"], evals=game.num_evaluations,
+                phases={
+                    k: v.get("total_s") for k, v in timer.summary().items()
+                    if v.get("total_s") is not None
+                },
+            )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1
+    if tb is not None:
+        tb.close()
     # every queued PNG exists (and render errors surface) before returning
     report_mod.flush_async_plots()
     return records

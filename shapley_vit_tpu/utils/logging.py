@@ -140,3 +140,60 @@ class CSVLogger:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class TensorBoardWriter:
+    """Per-round TensorBoard scalars for the service loop.
+
+    The reference ships a ``--use-tensorboard`` flag with NO wired backend
+    (opts.py:70-72; its Logger's summary methods reference a commented-out
+    tf import, utils/logger.py:34-85 — broken if called). SURVEY.md §5
+    calls for a real summary writer; this is it: per-client SV (and ±σ)
+    per utility dim, global utility, round wall time, eval counts, and the
+    per-phase spans, keyed by epoch. Lazy torch.utils.tensorboard import;
+    degrades to a no-op when tensorboard is unavailable.
+    """
+
+    UTILITY_NAMES = {0: "accuracy", 1: "loss"}
+
+    def __init__(self, log_dir: str):
+        self._w = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir=log_dir)
+        except Exception as e:  # missing tensorboard: observability is optional
+            get_logger().info(f"tensorboard writer unavailable: {e}")
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def log_round(self, step, shapley_value, se=None, utility=None,
+                  wall_s=None, evals=None, phases=None) -> None:
+        if self._w is None:
+            return
+        for dim, sv in enumerate(shapley_value):
+            name = self.UTILITY_NAMES.get(dim, str(dim))
+            for cid, v in sv.items():
+                self._w.add_scalar(f"shapley/{name}/client_{cid}", v, step)
+                if se is not None:
+                    self._w.add_scalar(
+                        f"shapley_se/{name}/client_{cid}", se[dim][cid], step
+                    )
+        if utility is not None:
+            for dim, u in enumerate(utility):
+                name = self.UTILITY_NAMES.get(dim, str(dim))
+                self._w.add_scalar(f"global/{name}", u, step)
+        if wall_s is not None:
+            self._w.add_scalar("round/wall_s", wall_s, step)
+        if evals is not None:
+            self._w.add_scalar("round/coalition_evals", evals, step)
+        for span, total in (phases or {}).items():
+            self._w.add_scalar(f"round/phase_s/{span}", total, step)
+        self._w.flush()
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+            self._w = None

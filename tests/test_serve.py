@@ -337,3 +337,31 @@ def test_serve_prewarm_keeps_results_identical(cfg):
             assert r_warm[0]["shapley"][d][c] == pytest.approx(
                 r_cold[0]["shapley"][d][c], abs=1e-9
             )
+
+
+def test_serve_tensorboard_round_scalars(cfg):
+    """obs.use_tensorboard wires a REAL summary backend (the reference's
+    flag is dead, opts.py:70-72): one event file with per-round scalars."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    cfg.obs.use_tensorboard = True
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    assert len(records) == 1
+    tb_dir = os.path.join(cfg.output_dir, "tensorboard")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, os.listdir(tb_dir)
+    # the scalars are actually in the event file
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert "global/accuracy" in tags
+    assert "round/wall_s" in tags
+    assert any(t.startswith("shapley/accuracy/client_") for t in tags)
+    assert any(t.startswith("round/phase_s/") for t in tags)
