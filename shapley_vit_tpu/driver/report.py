@@ -27,7 +27,11 @@ _PLOT_PENDING: List = []
 _PLOT_LOCK = threading.Lock()
 
 
-def _plot_async(fn, *args, **kwargs):
+def submit_async_artifact(fn, *args, **kwargs):
+    """Run an artifact job (plot render, checkpoint export) on the single
+    ordered worker thread; :func:`flush_async_plots` drains and surfaces
+    errors. One worker — matplotlib is not re-entrant, and ordering keeps
+    per-round artifacts consistent on disk."""
     global _PLOT_EXECUTOR
     from concurrent.futures import ThreadPoolExecutor
 
@@ -39,6 +43,9 @@ def _plot_async(fn, *args, **kwargs):
         fut = _PLOT_EXECUTOR.submit(fn, *args, **kwargs)
         _PLOT_PENDING.append(fut)
         return fut
+
+
+_plot_async = submit_async_artifact
 
 
 def flush_async_plots(timeout: Optional[float] = None) -> None:

@@ -292,7 +292,13 @@ def serve(
                         )
                     )
                 if cfg.paths.global_model_path:
-                    ingestion.save_lora_checkpoint(
+                    # exported on the artifact worker thread: the external
+                    # FL loop reads the file, nothing in THIS loop does, and
+                    # the atomic-rename protocol means readers never see a
+                    # partial file. ~0.08 s/round back (device_get + npz
+                    # write). flush_async_plots() drains it at stop.
+                    report_mod.submit_async_artifact(
+                        ingestion.save_lora_checkpoint,
                         os.path.join(
                             cfg.paths.global_model_path, f"ViT_global_epoch_{epoch}.npz"
                         ),
