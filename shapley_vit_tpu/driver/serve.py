@@ -253,12 +253,20 @@ def serve(
                 ckpt.checkpointed_game(
                     game, table_path, fingerprint=fp, block=chunk or 8
                 )
-        with timer.span("shapley_round"):
-            sv, sv_se = run_configured_comp_contrib(
-                game, cfg.shapley,
-                rng=np.random.default_rng(cfg.shapley.seed + epoch),
-                logger=logger,
-            )
+        from shapley_vit_tpu.utils.profiling import trace
+
+        # --profile captures a jax.profiler trace of the estimator span
+        # (one trace dir per epoch), same knob as the one-shot driver
+        with trace(
+            os.path.join(cfg.obs.profile_dir, f"epoch_{epoch}"),
+            enabled=cfg.obs.profile,
+        ):
+            with timer.span("shapley_round"):
+                sv, sv_se = run_configured_comp_contrib(
+                    game, cfg.shapley,
+                    rng=np.random.default_rng(cfg.shapley.seed + epoch),
+                    logger=logger,
+                )
 
         # advance the global overlay by the full-coalition FedAvg and chain
         # previous_utility to the new global's absolute utility

@@ -278,3 +278,36 @@ def test_label_flip_fixture():
     assert 0.3 < frac < 0.45
     same = np.asarray(tr.label_flip(key, labels, 4, 0.0))
     np.testing.assert_array_equal(same, labels)
+
+
+@pytest.mark.parametrize("n_coalition,C,sizes", [
+    (2, 1, (8,)),          # C below the axis size
+    (2, 5, (8, 8)),        # odd C, clean batches
+    (4, 3, (16,)),         # C < axis, one batch
+    (4, 6, (7, 9, 3)),     # every batch a different non-multiple size
+    (8, 2, (5,)),          # C << axis, tiny odd batch
+    (1, 8, (6, 6, 1)),     # pure data-parallel, 1-row tail batch
+])
+def test_sharded_evaluator_shape_sweep(setup, n_coalition, C, sizes):
+    """Randomized shape sweep of the self-padding machinery: any
+    (coalition count, batch sizes, mesh split) combination must reproduce
+    the single-chip result — no caller-side alignment anywhere."""
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=n_coalition)
+    rng = np.random.default_rng(C * 100 + n_coalition)
+    total = sum(sizes)
+    images = rng.normal(size=(total, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=total)
+    data, ofs = [], 0
+    for b in sizes:
+        data.append((images[ofs : ofs + b], labels[ofs : ofs + b]))
+        ofs += b
+    stacked = jax.tree.map(lambda l: l[:C], s["stacked_lora"])
+    got = make_sharded_coalition_evaluator(s["fwd"], mesh)(
+        s["base"], stacked, data, dataset_size=total
+    )
+    want = ev.make_coalition_evaluator(s["fwd"])(
+        s["base"], stacked, data, dataset_size=total
+    )
+    assert got.shape == (C, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
