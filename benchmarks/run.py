@@ -191,9 +191,20 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         )
 
         def eval_fn(W):
-            return backend.evaluate(
-                base, matm(base, lora0, stacked, W), data, dataset_size=val_size
-            )
+            # slice the materialization: folded trees cost ~2·L·D² bytes
+            # per coalition and must not all exist at once for large W
+            C = len(W)
+            if not chunk or C <= chunk:
+                return backend.evaluate(
+                    base, matm(base, lora0, stacked, W), data, dataset_size=val_size
+                )
+            return np.concatenate([
+                backend.evaluate(
+                    base, matm(base, lora0, stacked, W[s : s + chunk]), data,
+                    dataset_size=val_size,
+                )
+                for s in range(0, C, chunk)
+            ], axis=0)
 
     else:
         # NOTE: pad_buckets measured a wash here — each coalition eval is

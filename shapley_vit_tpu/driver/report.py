@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-UTILITY_NAMES = {0: "accuracy", 1: "loss"}  # reference start.py:88-91 utility_map
+from shapley_vit_tpu.utils.logging import UTILITY_NAMES  # noqa: F401 (re-export)
 
 # Async plot rendering: matplotlib PNG rendering costs ~0.55 s/round — ~23%
 # of a steady-state serve round (tools/serve_profile.py) — and nothing waits
@@ -29,18 +29,39 @@ _PLOT_LOCK = threading.Lock()
 
 def submit_async_artifact(fn, *args, **kwargs):
     """Run an artifact job (plot render, checkpoint export) on the single
-    ordered worker thread; :func:`flush_async_plots` drains and surfaces
-    errors. One worker — matplotlib is not re-entrant, and ordering keeps
-    per-round artifacts consistent on disk."""
+    ordered worker thread. One worker — matplotlib is not re-entrant, and
+    ordering keeps per-round artifacts consistent on disk.
+
+    Failures are LOGGED AT FAILURE TIME on the worker (an unbounded
+    production service must see a dead disk every round, not at a return
+    that never comes); :func:`flush_async_plots` additionally waits for and
+    can re-raise them. Settled futures are pruned on each submit so the
+    pending list stays bounded across an unbounded service."""
     global _PLOT_EXECUTOR
     from concurrent.futures import ThreadPoolExecutor
+
+    name = getattr(fn, "__name__", str(fn))
+
+    def run():
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:
+            from shapley_vit_tpu.utils.logging import get_logger
+
+            get_logger().error(f"async artifact {name} failed: {e!r}")
+            raise
 
     with _PLOT_LOCK:
         if _PLOT_EXECUTOR is None:
             _PLOT_EXECUTOR = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="svt-plot"
             )
-        fut = _PLOT_EXECUTOR.submit(fn, *args, **kwargs)
+        # prune settled-and-clean futures; keep failures so a later flush
+        # can still surface them (failures were already logged above)
+        _PLOT_PENDING[:] = [
+            f for f in _PLOT_PENDING if not f.done() or f.exception() is not None
+        ]
+        fut = _PLOT_EXECUTOR.submit(run)
         _PLOT_PENDING.append(fut)
         return fut
 
@@ -48,13 +69,28 @@ def submit_async_artifact(fn, *args, **kwargs):
 _plot_async = submit_async_artifact
 
 
-def flush_async_plots(timeout: Optional[float] = None) -> None:
-    """Block until every queued async plot has rendered (service shutdown /
-    test determinism). Render errors surface here instead of being dropped."""
+def flush_async_plots(
+    timeout: Optional[float] = None, raise_errors: bool = True
+) -> int:
+    """Block until every queued artifact job has finished (service
+    shutdown / test determinism). Returns the number of failed jobs;
+    ``raise_errors=True`` re-raises the first failure after draining (the
+    serve loop passes False so one bad render cannot discard a completed
+    run's records — failures were already logged per-job)."""
     with _PLOT_LOCK:
         pending, _PLOT_PENDING[:] = list(_PLOT_PENDING), []
+    first_err = None
+    failed = 0
     for fut in pending:
-        fut.result(timeout=timeout)
+        try:
+            fut.result(timeout=timeout)
+        except Exception as e:
+            failed += 1
+            if first_err is None:
+                first_err = e
+    if first_err is not None and raise_errors:
+        raise first_err
+    return failed
 
 
 def write_shapley_csv(

@@ -75,10 +75,9 @@ def serve(
     # device-count-gated mesh sharding (the reference's always-on
     # DataParallel, start.py:283, done TPU-right) + eval_mode selection
     # (merged LoRA folding, measured +9% — tools/merged_probe.py)
-    backend, mat, chunk = start_mod.build_eval_backend(
+    backend, eval_coalitions, chunk = start_mod.build_eval_backend(
         cfg, spec, base, init_lora, log_fn=logger.info
     )
-    evaluator = backend.evaluate
     data = backend.device_batches(valid, cfg.data.eval_batch_size)
 
     prev_utility = list(
@@ -86,6 +85,14 @@ def serve(
     )
     logger.info(f"service up: initial utility {prev_utility}")
     import jax
+
+    # multi-host service: every rank runs the identical compute sequence
+    # (the sharded evaluator's psums are collectives — all ranks must make
+    # the same calls), but artifacts (utility table, CSVs/PNGs, TensorBoard,
+    # global export) are written by rank 0 only. Multi-process runs with
+    # persistence enabled need a SHARED output dir so a resumed table seeds
+    # every rank's memo identically.
+    rank0 = jax.process_index() == 0
 
     jstack = jax.jit(tm.tree_stack)
     # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
@@ -121,8 +128,8 @@ def serve(
         warm_n = max(1, sum(int(b[1].shape[0]) for b in warm_batches))
         for c in warm_counts:
             W0 = np.full((c, n), 1.0 / n, dtype=np.float32)
-            evaluator(base, mat(init_lora, zero_stack, W0), warm_batches,
-                      dataset_size=warm_n)
+            eval_coalitions(init_lora, zero_stack, W0, warm_batches,
+                            dataset_size=warm_n)
         logger.info(
             f"prewarm: C={warm_counts} eval shape(s) over {len(warm_batches)} "
             f"batch shape(s) compiled in {time.time() - t0:.1f}s"
@@ -133,7 +140,7 @@ def serve(
     # scalars under <exp_dir>/<exp_id>/tensorboard
     tb = (
         TensorBoardWriter(os.path.join(out_dir, "tensorboard"))
-        if cfg.obs.use_tensorboard
+        if cfg.obs.use_tensorboard and rank0
         else None
     )
     records: List[Dict] = []
@@ -164,6 +171,17 @@ def serve(
         # not-arrived this round (the straggler machinery already handles
         # partial participation)
         with timer.span("ingest"):
+            if cfg.shapley.persist_utility_table:
+                from shapley_vit_tpu.fl import checkpoint as ckpt
+
+                # digest the files BEFORE reading them for deltas: if a
+                # client re-uploads between the digest and the read, the
+                # persisted table carries the OLD bytes' digest while its
+                # utilities came from the NEW deltas — on restart the
+                # digest mismatches and the table is REJECTED (wasted
+                # evals, never mixed utilities). Digest-after-read would
+                # invert that into silent corruption (TOCTOU).
+                files_digest = ckpt.fingerprint_files(watch.paths)
             deltas, selection, sizes = ingestion.ingest_clients(
                 watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
             )
@@ -202,8 +220,8 @@ def serve(
         start_overlay = current_overlay
 
         def eval_fn(W):
-            return evaluator(
-                base, mat(start_overlay, stacked, W), data, dataset_size=len(valid)
+            return eval_coalitions(
+                start_overlay, stacked, W, data, dataset_size=len(valid)
             )
 
         game = Game(
@@ -226,13 +244,14 @@ def serve(
             from shapley_vit_tpu.fl import checkpoint as ckpt
 
             with timer.span("persist_setup"):
-                # file-digest fingerprint: zero device traffic (the stacked-
-                # tree digest cost a 14MB D2H ≈ 0.2 s/round); the overlay
-                # dependence of the deltas rides on prev_utility in extra
+                # file-digest fingerprint (zero device traffic — the old
+                # stacked-tree digest cost a 14MB D2H ≈ 0.2 s/round): the
+                # file bytes were digested BEFORE ingest (see above); the
+                # overlay dependence of the deltas rides on prev_utility
                 fp = ckpt.fingerprint_files(
-                    watch.paths,
+                    [],
                     extra=(
-                        num_local_data, selection,
+                        files_digest, num_local_data, selection,
                         [f"{u:.12g}" for u in prev_utility],
                     ),
                 )
@@ -250,8 +269,11 @@ def serve(
                             f"ignoring stale utility table for epoch {epoch} "
                             "(round inputs changed since it was written)"
                         )
+                # all ranks split precompute identically (collective
+                # alignment); only rank 0 writes the shared table
                 ckpt.checkpointed_game(
-                    game, table_path, fingerprint=fp, block=chunk or 8
+                    game, table_path, fingerprint=fp, block=chunk or 8,
+                    save=rank0,
                 )
         from shapley_vit_tpu.utils.profiling import trace
 
@@ -299,7 +321,7 @@ def serve(
                             base, current_overlay, data, dataset_size=len(valid)
                         )
                     )
-                if cfg.paths.global_model_path:
+                if cfg.paths.global_model_path and rank0:
                     # exported on the artifact worker thread: the external
                     # FL loop reads the file, nothing in THIS loop does, and
                     # the atomic-rename protocol means readers never see a
@@ -322,7 +344,7 @@ def serve(
             out_dir, sv, game=game, round_idx=epoch, timer=timer, se=sv_se,
             render_plots=cfg.obs.render_plots,
             plots_async=cfg.obs.render_plots_async,
-        )
+        ) if rank0 else []
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,
@@ -342,8 +364,11 @@ def serve(
         epoch += 1
     if tb is not None:
         tb.close()
-    # every queued PNG exists (and render errors surface) before returning
-    report_mod.flush_async_plots()
+    # every queued artifact exists before returning; failures were logged
+    # per-job on the worker and must not discard a completed run's records
+    failed = report_mod.flush_async_plots(raise_errors=False)
+    if failed:
+        logger.error(f"{failed} async artifact job(s) failed during this run")
     return records
 
 

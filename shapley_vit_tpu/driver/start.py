@@ -100,8 +100,15 @@ def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
       * ``"overlay"`` — the rank-16 two-matmul LoRA path (pre-round-3
         behavior).
 
-    Returns ``(backend, mat, chunk)`` where ``mat(overlay, stacked_deltas,
-    W) -> varying tree`` feeds ``backend.evaluate``.
+    Returns ``(backend, eval_coalitions, chunk)`` where
+    ``eval_coalitions(overlay, stacked_deltas, W, batches, dataset_size)``
+    evaluates the weight matrix's coalitions, slicing the MATERIALIZATION
+    by ``chunk``: the merged mode folds ~2·L·D² compute-dtype bytes per
+    coalition (28MB for ViT-B) and a large ``precompute`` batch (hundreds
+    of coalitions at bigger n) must never materialize all at once — the
+    evaluator's own ``coalition_chunk`` only bounds the forward, not the
+    folded trees feeding it. Slicing aligns the materialized working set
+    with the forward's chunking (identical compiled shapes).
     """
     import jax
 
@@ -141,7 +148,24 @@ def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
         log_fn=log_fn,
         stack_single=stack_single,
     )
-    return backend, mat, chunk
+
+    def eval_coalitions(overlay, stacked_deltas, W, batches, dataset_size=None):
+        C = int(np.shape(W)[0])
+        if not chunk or C <= chunk:
+            return backend.evaluate(
+                base, mat(overlay, stacked_deltas, W), batches,
+                dataset_size=dataset_size,
+            )
+        outs = [
+            backend.evaluate(
+                base, mat(overlay, stacked_deltas, W[s : s + chunk]), batches,
+                dataset_size=dataset_size,
+            )
+            for s in range(0, C, chunk)
+        ]
+        return np.concatenate(outs, axis=0)
+
+    return backend, eval_coalitions, chunk
 
 
 def load_validation_dataset(cfg: Config, target_size: Optional[int] = None) -> ArrayDataset:
@@ -189,7 +213,7 @@ def get_initial_shapley_value(
     # device-count-gated mesh sharding (the reference's always-on
     # DataParallel, start.py:283, done TPU-right) + eval_mode selection
     # (merged LoRA folding, measured +9%)
-    backend, mat, chunk = build_eval_backend(
+    backend, eval_coalitions, chunk = build_eval_backend(
         cfg, spec, base, init_lora, log_fn=logger.info
     )
     data = backend.device_batches(valid, cfg.data.eval_batch_size)
@@ -256,8 +280,7 @@ def get_initial_shapley_value(
     ])
 
     def eval_coalitions_fn(W: np.ndarray) -> np.ndarray:
-        varying = mat(init_lora, stacked, W)
-        return backend.evaluate(base, varying, data, dataset_size=len(valid))
+        return eval_coalitions(init_lora, stacked, W, data, dataset_size=len(valid))
 
     game = Game(
         eval_coalitions_fn=eval_coalitions_fn,

@@ -190,6 +190,7 @@ def checkpointed_game(
     every: int = 1,
     fingerprint: Optional[str] = None,
     block: int = 8,
+    save: bool = True,
 ):
     """Wrap a Game so its memo persists incrementally — mid-round crash
     recovery for long Monte-Carlo estimations.
@@ -201,7 +202,13 @@ def checkpointed_game(
     not-yet-cached work into ``block``-sized batches, saving after each:
     a kill loses at most ``block`` coalition evals. Use ``block`` equal to
     the evaluator's coalition chunk so batch shapes match what the
-    evaluator would compile anyway."""
+    evaluator would compile anyway.
+
+    ``save=False`` keeps the block-wise precompute SPLITTING but skips the
+    table writes: in a multi-process service every rank must issue the
+    SAME evaluator-call sequence (the batch psum is a collective — a rank
+    that split differently would deadlock the mesh), while only rank 0 may
+    write the shared table file."""
     orig_precompute = game.precompute
     counter = {"n": 0}
 
@@ -210,7 +217,7 @@ def checkpointed_game(
         for i in range(0, len(todo), max(1, block)):
             orig_precompute(todo[i : i + max(1, block)])
             counter["n"] += 1
-            if counter["n"] % every == 0:
+            if save and counter["n"] % every == 0:
                 save_utility_table(path, game.utility, fingerprint=fingerprint)
 
     game.precompute = precompute

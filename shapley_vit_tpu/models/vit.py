@@ -269,13 +269,19 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
 
     if spec.attention_impl == "pallas2":
         # packed-layout kernel: no [B,H,N,D] transposes on either side
-        from shapley_vit_tpu.ops.attention import fused_attention_packed, pallas_enabled
+        from shapley_vit_tpu.ops.attention import (
+            fused_attention_packed,
+            pallas_enabled,
+            pallas_interpret,
+        )
 
         qp = proj(attn_p["q"], "q")
         kp = proj(attn_p["k"], "k")
         vp = proj(attn_p["v"], "v")
         if pallas_enabled():
-            ctx = fused_attention_packed(qp, kp, vp, heads=h)
+            ctx = fused_attention_packed(
+                qp, kp, vp, heads=h, interpret=pallas_interpret()
+            )
         else:
             q = qp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
             k = kp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)

@@ -185,12 +185,14 @@ def pallas_interpret() -> bool:
 def fused_attention(q, k, v):
     """Fused MHA: [B, H, N, D] q/k/v -> context [B, H, N, D].
 
-    Forward runs the Pallas kernel when enabled on TPU (XLA math elsewhere);
-    backward recomputes with XLA ops (flash-style recomputation: no attention
-    matrix is saved as a residual).
+    Forward runs the Pallas kernel when enabled on TPU (XLA math elsewhere;
+    the SVT_PALLAS_INTERPRET escape routes through the Pallas interpreter —
+    never a compiled Mosaic kernel on a non-TPU backend); backward
+    recomputes with XLA ops (flash-style recomputation: no attention matrix
+    is saved as a residual).
     """
     if pallas_enabled():
-        return _fused_attention_fwd_impl(q, k, v)
+        return _fused_attention_fwd_impl(q, k, v, interpret=pallas_interpret())
     return _xla_attention(q, k, v)
 
 

@@ -151,11 +151,23 @@ def make_sharded_coalition_evaluator(
         elif not isinstance(batches, (list, tuple)):
             # a one-shot generator would be exhausted by the first chunk
             batches = list(batches)
-        prepped = [
-            b if len(b) == 3 else _prep_batch(mesh, *b) for b in batches
-        ]
+        # real-example count accumulates at PREP time (host-known for pairs;
+        # one weights readback per pre-sharded triple) — never inside the
+        # chunk loop, where it would cost a blocking per-batch-per-chunk
+        # transfer (count DISPATCHES and TRANSFERS — BENCH_NOTES)
+        prepped = []
+        seen = 0.0
+        for b in batches:
+            if len(b) == 3:
+                prepped.append(b)
+                if dataset_size is None:
+                    seen += float(np.asarray(b[2]).sum())
+            else:
+                if dataset_size is None:
+                    seen += float(len(b[1]))
+                prepped.append(_prep_batch(mesh, *b))
 
-        def run_chunk(params_chunk) -> Tuple[np.ndarray, np.ndarray, float]:
+        def run_chunk(params_chunk) -> Tuple[np.ndarray, np.ndarray]:
             cc = jax.tree.leaves(params_chunk)[0].shape[0]
             target = _target(cc)
             if target != cc:
@@ -168,13 +180,10 @@ def make_sharded_coalition_evaluator(
             params_d = put_coalition_stacked(mesh, params_chunk)
             correct = jnp.zeros((target,), jnp.float32)
             loss = jnp.zeros((target,), jnp.float32)
-            seen = 0.0
             for images, labels, weights in prepped:
                 c, l = jstep(shared_d, params_d, images, labels, weights)
                 correct = correct + c
                 loss = loss + l
-                if dataset_size is None:
-                    seen += float(np.asarray(weights).sum())
             if jax.process_count() > 1:
                 # the coalition-sharded accumulators span non-addressable
                 # devices in multi-process runs; allgather assembles the
@@ -187,7 +196,6 @@ def make_sharded_coalition_evaluator(
             return (
                 np.asarray(jax.device_get(correct))[:cc],
                 np.asarray(jax.device_get(loss))[:cc],
-                seen,
             )
 
         if coalition_chunk and C > coalition_chunk:
@@ -199,9 +207,8 @@ def make_sharded_coalition_evaluator(
                 outs.append(run_chunk(chunk))
             correct = np.concatenate([o[0] for o in outs])
             loss = np.concatenate([o[1] for o in outs])
-            seen = outs[0][2]
         else:
-            correct, loss, seen = run_chunk(stacked_varying)
+            correct, loss = run_chunk(stacked_varying)
 
         n = dataset_size if dataset_size is not None else seen
         acc = correct / n

@@ -196,6 +196,13 @@ def shapley_monte_carlo(
     # phase 1: draw all permutations up front
     if antithetic:
         if m % 2:
+            import warnings
+
+            warnings.warn(
+                f"antithetic sampling pairs permutations: m={m} rounded "
+                f"down to {m - 1}",
+                stacklevel=2,
+            )
             m -= 1
         if m < 2:
             raise ValueError("antithetic sampling needs m >= 2 (paired draws)")

@@ -142,6 +142,11 @@ class CSVLogger:
         self.close()
 
 
+# Canonical utility-dimension names (reference start.py:88-91 utility_map);
+# driver/report.py and the TB writer share this single mapping.
+UTILITY_NAMES = {0: "accuracy", 1: "loss"}
+
+
 class TensorBoardWriter:
     """Per-round TensorBoard scalars for the service loop.
 
@@ -153,8 +158,6 @@ class TensorBoardWriter:
     per-phase spans, keyed by epoch. Lazy torch.utils.tensorboard import;
     degrades to a no-op when tensorboard is unavailable.
     """
-
-    UTILITY_NAMES = {0: "accuracy", 1: "loss"}
 
     def __init__(self, log_dir: str):
         self._w = None
@@ -174,7 +177,7 @@ class TensorBoardWriter:
         if self._w is None:
             return
         for dim, sv in enumerate(shapley_value):
-            name = self.UTILITY_NAMES.get(dim, str(dim))
+            name = UTILITY_NAMES.get(dim, str(dim))
             for cid, v in sv.items():
                 self._w.add_scalar(f"shapley/{name}/client_{cid}", v, step)
                 if se is not None:
@@ -183,7 +186,7 @@ class TensorBoardWriter:
                     )
         if utility is not None:
             for dim, u in enumerate(utility):
-                name = self.UTILITY_NAMES.get(dim, str(dim))
+                name = UTILITY_NAMES.get(dim, str(dim))
                 self._w.add_scalar(f"global/{name}", u, step)
         if wall_s is not None:
             self._w.add_scalar("round/wall_s", wall_s, step)

@@ -180,3 +180,146 @@ def test_two_process_distributed_coalition_eval():
         assert "multi-process sharded eval OK" in out, out[-1500:]
         assert "multi-process full Shapley round OK" in out, out[-1500:]
         assert "multi-process sharded train step OK" in out, out[-1500:]
+
+
+_SERVE_CHILD = '''
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+shared = sys.argv[3]
+
+from shapley_vit_tpu.config import Config, DistConfig
+from shapley_vit_tpu.parallel import distributed as dist
+
+dist.initialize_from_config(
+    DistConfig(dist_num=2, dist_rank=pid, master_addr="127.0.0.1", master_port=int(port))
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+import importlib
+import json
+import numpy as np
+
+from shapley_vit_tpu.fl import ingestion
+from shapley_vit_tpu.ops import tree_math as tm
+
+cfg = Config()
+cfg.model.model_type = "ViT-micro"
+cfg.data.eval_batch_size = 32
+cfg.data.synthetic_scale = 0.02
+cfg.obs.exp_dir = os.path.join(shared, "exp")       # SHARED: rank-0 artifacts
+cfg.obs.render_plots = False                         # keep the test lean
+cfg.paths.validation_dataset = os.path.join(shared, "none")
+cfg.paths.local_model_path = os.path.join(shared, "local")
+cfg.paths.global_model_path = os.path.join(shared, "global")
+
+start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+spec, base, init_lora = start_mod.build_model(cfg)
+
+if pid == 0:
+    # rank 0 stages the epoch; rank 1 discovers it through the watcher —
+    # the shared-filesystem FL "network", now across OS processes
+    for i in range(3):
+        lora_i = tm.tree_add(
+            init_lora,
+            jax.tree.map(
+                lambda l, k=i: 0.05 * jax.random.normal(jax.random.key(10 + k), l.shape),
+                init_lora,
+            ),
+        )
+        ingestion.save_lora_checkpoint(
+            os.path.join(cfg.paths.local_model_path, f"client_{{i + 1}}_model",
+                         "ViT_epoch_0.pth.tar"),
+            lora_i, spec, num_local_data_train=100 * (i + 1),
+        )
+
+from shapley_vit_tpu.driver.serve import serve
+
+records = serve(cfg, max_rounds=1, timeout=120.0, policy="wait")
+assert len(records) == 1
+print("SERVE_SV " + json.dumps(
+    [{{str(k): v for k, v in d.items()}} for d in records[0]["shapley"]]
+), flush=True)
+print("SERVE_UTIL " + json.dumps(records[0]["utility"]), flush=True)
+if pid == 0:
+    assert records[0]["artifacts"], "rank 0 writes the artifacts"
+    assert os.path.exists(os.path.join(cfg.paths.global_model_path,
+                                       "ViT_global_epoch_0.npz"))
+else:
+    assert records[0]["artifacts"] == [], "non-zero ranks write nothing"
+print(f"proc {{pid}}: multi-process serve round OK", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_serve_full_round(tmp_path):
+    """THE multi-host production story: two OS processes run the REAL
+    serve() loop over a shared filesystem — global (1,4) mesh spanning both
+    processes, cross-process psum inside the coalition evaluator, rank-0
+    artifact writes — and must agree on the Shapley values with each other
+    AND with a single-process serve() on the same inputs."""
+    import json
+    import socket
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shared = str(tmp_path / "shared")
+    os.makedirs(shared)
+    child = _SERVE_CHILD.format(repo=repo)
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = str(sock.getsockname()[1])
+    env = {
+        k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, str(i), port, shared],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    svs = []
+    for out in outs:
+        assert "multi-process serve round OK" in out, out[-1500:]
+        line = [l for l in out.splitlines() if l.startswith("SERVE_SV ")][0]
+        svs.append(json.loads(line[len("SERVE_SV "):]))
+    # both ranks computed identical SVs (same collectives, same scoring)
+    for d in range(2):
+        for c in ("0", "1", "2"):
+            assert svs[0][d][c] == pytest.approx(svs[1][d][c], abs=1e-9)
+
+    # single-process oracle on the SAME staged checkpoints
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.serve import serve as serve_local
+
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.eval_batch_size = 32
+    cfg.data.synthetic_scale = 0.02
+    cfg.obs.exp_dir = str(tmp_path / "exp_single")
+    cfg.obs.render_plots = False
+    cfg.paths.validation_dataset = os.path.join(shared, "none")
+    cfg.paths.local_model_path = os.path.join(shared, "local")
+    cfg.paths.global_model_path = str(tmp_path / "global_single")
+    records = serve_local(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    for d in range(2):
+        for c in range(3):
+            assert records[0]["shapley"][d][c] == pytest.approx(
+                svs[0][d][str(c)], abs=1e-5
+            )

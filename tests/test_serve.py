@@ -365,3 +365,45 @@ def test_serve_tensorboard_round_scalars(cfg):
     assert "round/wall_s" in tags
     assert any(t.startswith("shapley/accuracy/client_") for t in tags)
     assert any(t.startswith("round/phase_s/") for t in tags)
+
+
+def test_build_eval_backend_slices_materialization(cfg):
+    """eval_coalitions slices the MATERIALIZATION by chunk (merged mode
+    folds ~2·L·D² bytes per coalition — a big precompute batch must never
+    materialize all folded trees at once) and still matches the unsliced
+    overlay result."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    cfg.model.compute_dtype = "float32"
+    cfg.shapley.coalition_chunk = 2  # force C=7 into 4 materialization slices
+    spec, base, init_lora = start_mod.build_model(cfg)
+    backend, eval_coalitions, chunk = start_mod.build_eval_backend(
+        cfg, spec, base, init_lora
+    )
+    assert chunk == 2
+
+    leaves, treedef = jax.tree.flatten(init_lora)
+    deltas = [
+        treedef.unflatten([
+            0.05 * jax.random.normal(k, l.shape)
+            for k, l in zip(jax.random.split(jax.random.key(i), len(leaves)), leaves)
+        ])
+        for i in range(3)
+    ]
+    stacked = tm.tree_stack(deltas)
+    from itertools import combinations
+
+    coalitions = [list(c) for r in range(1, 4) for c in combinations(range(3), r)]
+    W = tm.coalition_weight_matrix(coalitions, [10, 20, 30], 3)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(16, spec.image, spec.image, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, size=16)
+    got = eval_coalitions(init_lora, stacked, W, [(images, labels)], dataset_size=16)
+    assert got.shape == (7, 2)
+
+    cfg.model.eval_mode = "overlay"
+    cfg.shapley.coalition_chunk = 0
+    _, eval_overlay, chunk0 = start_mod.build_eval_backend(cfg, spec, base, init_lora)
+    want = eval_overlay(init_lora, stacked, W, [(images, labels)], dataset_size=16)
+    np.testing.assert_allclose(got, want, atol=1e-5)
