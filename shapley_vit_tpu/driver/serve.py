@@ -57,6 +57,12 @@ def serve(
     epoch's checkpoints — the round-1 compile cost moves into service
     startup where nothing is waiting on it, so "checkpoint arrival → SV"
     runs at steady-state latency from the first round.
+
+    Multi-host: after ``jax.distributed`` init the same call is the
+    multi-process service — all ranks run the identical compute sequence
+    over the global mesh; rank 0 alone writes artifacts (utility table,
+    reports, TensorBoard, global export). With persistence enabled the
+    output dir must be shared across ranks.
     """
     import importlib
 
