@@ -357,6 +357,17 @@ def get_initial_shapley_value(
     if csv_logger is not None:
         for i in range(utility_dim):
             csv_logger.log(["shapley_round1", i] + [shapley_value[i][c] for c in range(n)])
+    if cfg.obs.use_tensorboard:
+        from shapley_vit_tpu.utils.logging import TensorBoardWriter
+
+        tb = TensorBoardWriter(
+            os.path.join(cfg.ensure_output_dir(), "tensorboard")
+        )
+        tb.log_round(
+            1, shapley_value, se=_sv_se, utility=previous_utility,
+            wall_s=stats["total_s"], evals=game.num_evaluations,
+        )
+        tb.close()
 
     return shapley_value_all_rounds, shapley_value_sum
 

@@ -239,3 +239,44 @@ def test_ingest_clients_error_policies(tmp_path, micro_spec):
 
     with pytest.raises(ValueError):
         ingestion.ingest_clients([good], init, micro_spec, on_error="bogus")
+
+
+def test_start_tensorboard_scalars(tmp_path):
+    """obs.use_tensorboard writes round-1 scalars from the one-shot driver
+    too (the service loop's writer is covered in test_serve)."""
+    import importlib
+    import os
+
+    import jax
+
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.fl import ingestion
+    from shapley_vit_tpu.ops import tree_math as tm
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.eval_batch_size = 32
+    cfg.data.synthetic_scale = 0.02
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.obs.use_tensorboard = True
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    paths = []
+    for i in range(3):
+        lora_i = tm.tree_add(
+            init_lora,
+            jax.tree.map(
+                lambda l, k=i: 0.05 * jax.random.normal(jax.random.key(k), l.shape),
+                init_lora,
+            ),
+        )
+        p = os.path.join(
+            cfg.paths.local_model_path, f"client_{i + 1}_model", "ViT_epoch_9.npz"
+        )
+        ingestion.save_lora_checkpoint(p, lora_i, spec, num_local_data_train=50)
+        paths.append(p)
+    start_mod.start(cfg, checkpoint_paths=paths)
+    tb_dir = os.path.join(cfg.output_dir, "tensorboard")
+    assert any("tfevents" in f for f in os.listdir(tb_dir))
