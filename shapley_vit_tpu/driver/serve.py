@@ -351,6 +351,19 @@ def serve(
             render_plots=cfg.obs.render_plots,
             plots_async=cfg.obs.render_plots_async,
         ) if rank0 else []
+        if rank0 and cfg.obs.render_plots and records:
+            # cumulative per-client SV trajectory across the service's
+            # rounds (reference: the offline nice_plot* family); refreshed
+            # every round on the artifact worker
+            traj = [r["shapley"] for r in records] + [sv]
+            p = os.path.join(out_dir, "sv_rounds.png")
+            if cfg.obs.render_plots_async:
+                report_mod.submit_async_artifact(
+                    report_mod.plot_shapley_rounds, traj, p
+                )
+            else:
+                report_mod.plot_shapley_rounds(traj, p)
+            artifacts.append(p)
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,

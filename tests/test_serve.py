@@ -74,6 +74,8 @@ def test_serve_two_rounds(cfg):
     out = cfg.output_dir
     assert os.path.exists(os.path.join(out, "shapley_round.csv"))
     assert os.path.exists(os.path.join(out, "sv_bar_r1.png"))
+    # cumulative trajectory appears once there are >= 2 rounds
+    assert os.path.exists(os.path.join(out, "sv_rounds.png"))
     # global overlay exported per epoch
     assert os.path.exists(
         os.path.join(cfg.paths.global_model_path, "ViT_global_epoch_1.npz")
