@@ -280,3 +280,66 @@ def test_start_tensorboard_scalars(tmp_path):
     start_mod.start(cfg, checkpoint_paths=paths)
     tb_dir = os.path.join(cfg.output_dir, "tensorboard")
     assert any("tfevents" in f for f in os.listdir(tb_dir))
+
+
+def test_client_driver_feeds_serve(tmp_path):
+    """The writer side of the filesystem protocol: svt-client trains
+    locally, drops epoch checkpoints with metadata, syncs from the
+    server's global export — and serve() ingests it all end-to-end."""
+    import importlib
+
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.client import latest_global_export, run_client
+    from shapley_vit_tpu.driver.serve import serve
+
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.eval_batch_size = 32
+    cfg.data.synthetic_scale = 0.02
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.obs.render_plots = False
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    cfg.paths.global_model_path = str(tmp_path / "global")
+
+    # three clients each write epoch-0 checkpoints
+    for cid in range(3):
+        paths = run_client(cfg, client_id=cid, epochs=1, steps_per_epoch=2)
+        assert len(paths) == 1 and paths[0].endswith("ViT_epoch_0.npz")
+        meta = importlib.import_module(
+            "shapley_vit_tpu.fl.ingestion"
+        ).load_checkpoint_metadata(paths[0])
+        assert meta["num_local_data_train"] > 0
+
+    # the server runs a round against them and exports the new global
+    records = serve(
+        cfg, max_rounds=1, epoch_filename="ViT_epoch_{epoch}.npz",
+        timeout=30.0, policy="fail",
+    )
+    assert len(records) == 1 and len(records[0]["shapley"]) == 2
+    g = latest_global_export(cfg.paths.global_model_path)
+    assert g is not None and g.endswith("ViT_global_epoch_0.npz")
+
+    # epoch 1: clients sync from the export before training
+    paths = run_client(cfg, client_id=0, epochs=1, start_epoch=1)
+    assert paths[0].endswith("ViT_epoch_1.npz")
+
+
+def test_client_driver_dp_and_label_flip(tmp_path):
+    """The reference's poisoning fixture and --noise-multiplier knob drive
+    the client's local optimizer."""
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.client import run_client
+
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.synthetic_scale = 0.02
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    cfg.train.label_flip_prob = 0.5
+    assert run_client(cfg, client_id=0, epochs=1, steps_per_epoch=1)
+
+    cfg.train.noise_multiplier = 0.5
+    cfg.train.lr = 0.05  # DP-SGD path
+    assert run_client(cfg, client_id=1, epochs=1, steps_per_epoch=1)
