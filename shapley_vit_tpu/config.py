@@ -188,6 +188,11 @@ class ObservabilityConfig:
     # render the per-round PNG on a worker thread so the serve loop never
     # waits on matplotlib (driver/report.flush_async_plots drains at stop)
     render_plots_async: bool = True
+    # Grad-CAM saliency overlays of the round's global model on sample
+    # validation images (reference opts.py:70-72 flags with no in-repo
+    # consumer; models/interpret.grad_cam is the real backend here)
+    use_grad_cam: bool = False
+    sal_image_dir: str = "exps/"
 
 
 @dataclass
@@ -275,6 +280,7 @@ class Config:
         o.exp_id, o.exp_dir, o.exp_name = ns.exp_id, ns.exp_dir, ns.exp_name
         o.use_tensorboard, o.use_vis, o.debug = ns.use_tensorboard, ns.use_vis, ns.debug
         o.plot_server, o.plot_port = ns.plot_server, ns.plot_port
+        o.use_grad_cam, o.sal_image_dir = ns.use_grad_cam, ns.sal_image_fname_dir
         a = cfg.adv
         a.epsilon, a.adv_dataset_mode = ns.epsilon, ns.adv_dataset_mode
         a.requires_control, a.is_defense = ns.requires_control, ns.is_defense

@@ -106,8 +106,6 @@ def run_client(
     else:
         images, labels = data
     if images.shape[1] != spec.image:
-        import jax
-
         images = np.asarray(
             jax.image.resize(
                 images.astype(np.float32),

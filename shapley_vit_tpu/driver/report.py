@@ -220,3 +220,51 @@ def render_round_report(
                 w.writerow([name, s.get("count"), s.get("total_s"), s.get("mean_s"), s.get("max_s")])
         paths.append(p)
     return paths
+
+
+def render_saliency(
+    out_dir: str,
+    base,
+    lora,
+    images,
+    spec,
+    round_idx: int = 0,
+    k: int = 4,
+    method: str = "grad_cam",
+) -> str:
+    """Grad-CAM (or attention-rollout) overlays of the round's global model
+    on ``k`` validation images — the real backend for the reference's
+    ``--use-grad-cam`` / ``--sal-image-fname-dir`` flags (opts.py:70-72,
+    flags with no in-repo consumer there). Synchronous and opt-in: the
+    saliency forward runs unjitted (it collects per-layer activations), so
+    only enabled runs pay for it."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from shapley_vit_tpu.models import interpret
+
+    imgs = np.asarray(images[:k], dtype=np.float32)
+    fn = interpret.grad_cam if method == "grad_cam" else interpret.attention_rollout
+    sal = np.asarray(fn(base, lora, jnp.asarray(imgs), spec))  # [k, g, g]
+    scale = imgs.shape[1] // sal.shape[1]
+    sal_up = np.kron(sal, np.ones((1, scale, scale)))
+
+    fig, axes = plt.subplots(1, len(imgs), figsize=(2.4 * len(imgs), 2.6))
+    if len(imgs) == 1:
+        axes = [axes]
+    for ax, img, s in zip(axes, imgs, sal_up):
+        shown = img.squeeze()
+        ax.imshow(
+            np.clip(shown, 0, 1), cmap="gray" if shown.ndim == 2 else None
+        )
+        ax.imshow(s, cmap="jet", alpha=0.4)
+        ax.axis("off")
+    fig.suptitle(f"{method} — round {round_idx} global model")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"saliency_r{round_idx}.png")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -351,6 +351,18 @@ def serve(
             render_plots=cfg.obs.render_plots,
             plots_async=cfg.obs.render_plots_async,
         ) if rank0 else []
+        if rank0 and cfg.obs.use_grad_cam:
+            # Grad-CAM overlays of the round's global model (the backend
+            # for the reference's dead --use-grad-cam flag). Synchronous:
+            # the unjitted saliency forward must not interleave with the
+            # main loop's collectives from the artifact thread.
+            artifacts.append(
+                report_mod.render_saliency(
+                    os.path.join(cfg.obs.sal_image_dir, cfg.obs.exp_id),
+                    base, current_overlay, valid.images, spec,
+                    round_idx=epoch,
+                )
+            )
         if rank0 and cfg.obs.render_plots and records:
             # cumulative per-client SV trajectory across the service's
             # rounds (reference: the offline nice_plot* family); refreshed

@@ -331,24 +331,35 @@ def get_initial_shapley_value(
     if csv_logger is not None:
         timer.log_to(csv_logger, step=1)
 
-    # export the post-round FedAvg global overlay to GLOBAL_MODEL_PATH (the
-    # .env contract's third path — the reference's out-of-repo FL loop reads
-    # the global model from there)
-    if cfg.paths.global_model_path:
-        participating = [i for i, s in enumerate(selection) if s]
-        if participating:
-            ratio = tm.fedavg_ratio(
-                [clients[i].num_local_data_train for i in participating]
-            )
-            agg = tm.aggregate_deltas(
-                tm.tree_stack([deltas[i] for i in participating]), ratio
-            )
-            global_overlay = tm.apply_deltas(init_lora, agg)
+    # the post-round FedAvg global overlay: exported to GLOBAL_MODEL_PATH
+    # (the .env contract's third path — the reference's out-of-repo FL loop
+    # reads the global model from there) and used for saliency overlays
+    participating = [i for i, s in enumerate(selection) if s]
+    global_overlay = init_lora
+    if participating:
+        ratio = tm.fedavg_ratio(
+            [clients[i].num_local_data_train for i in participating]
+        )
+        agg = tm.aggregate_deltas(
+            tm.tree_stack([deltas[i] for i in participating]), ratio
+        )
+        global_overlay = tm.apply_deltas(init_lora, agg)
+        if cfg.paths.global_model_path:
             ingestion.save_lora_checkpoint(
                 os.path.join(cfg.paths.global_model_path, "ViT_global.npz"),
                 global_overlay,
                 spec,
             )
+    if cfg.obs.use_grad_cam:
+        from shapley_vit_tpu.driver import report as report_mod
+
+        # Grad-CAM of the round's global model on sample validation images
+        # (reference --use-grad-cam/--sal-image-fname-dir, unwired there)
+        p = report_mod.render_saliency(
+            os.path.join(cfg.obs.sal_image_dir, cfg.obs.exp_id),
+            base, global_overlay, valid.images, spec, round_idx=1,
+        )
+        logger.info(f"saliency overlays: {p}")
 
     for i in range(utility_dim):
         shapley_value_all_rounds[i].append(shapley_value[i])

@@ -409,3 +409,19 @@ def test_build_eval_backend_slices_materialization(cfg):
     _, eval_overlay, chunk0 = start_mod.build_eval_backend(cfg, spec, base, init_lora)
     want = eval_overlay(init_lora, stacked, W, [(images, labels)], dataset_size=16)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_serve_grad_cam_saliency(cfg, tmp_path):
+    """--use-grad-cam renders per-round Grad-CAM overlays of the global
+    model (the reference ships the flag with no consumer)."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    cfg.obs.use_grad_cam = True
+    cfg.obs.sal_image_dir = str(tmp_path / "sal")
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    p = os.path.join(cfg.obs.sal_image_dir, cfg.obs.exp_id, "saliency_r0.png")
+    assert os.path.exists(p)
+    assert p in records[0]["artifacts"]
