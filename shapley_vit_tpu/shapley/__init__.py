@@ -18,6 +18,8 @@ from shapley_vit_tpu.shapley.estimators import (  # noqa: F401
     shapley_comp_contrib_adaptive,
     shapley_owen,
     shapley_kernel,
+    shapley_beta,
+    banzhaf_value,
     split_permutation,
     split_permutation_num,
     split_num,

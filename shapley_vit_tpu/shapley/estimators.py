@@ -734,6 +734,141 @@ def shapley_kernel(
     return _merge_with_default(game, sv), _merge_with_default(game, se)
 
 
+def shapley_beta(
+    game: Game,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    m: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Beta Shapley (beyond reference; Kwon & Zou 2022): the semivalue
+    φ_i = Σ_{S ⊆ N∖i} w^{α,β}_{|S|} · (u(S∪i) − u(S)) with per-size weights
+    from a Beta(β, α) prior over the inclusion probability —
+    w̃_j ∝ B(j − 1 + β, n − j + α)/B(α, β) for position j = |S| + 1,
+    normalized so Σ_j C(n−1, j−1)·w_j = 1 per client.
+
+    ``alpha = beta = 1`` recovers the exact Shapley value (uniform over
+    positions — verified against :func:`shapley_exact` in the tests);
+    larger ``beta`` up-weights SMALL coalitions (where marginal signal is
+    strongest and least noisy — the paper's recommended (α=1, β=4..16)
+    family for noisy utilities), larger ``alpha`` up-weights large ones.
+
+    ``m=None`` enumerates every subset (needs n <= ~16); otherwise draws
+    ``m`` Monte-Carlo samples per client: position j from the normalized
+    weight-mass distribution, then a uniform size-(j−1) subset of the
+    others. All distinct coalitions evaluate in ONE batched
+    ``game.precompute``. Semivalues other than Shapley do NOT satisfy
+    efficiency — Σφ generally differs from u(N)."""
+    from math import lgamma
+
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+
+    def log_beta_fn(a, b):
+        return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+    # per-position weights (position j = |S| + 1 in 1..n)
+    logw = np.array(
+        [
+            log_beta_fn(j - 1 + beta, n - j + alpha) - log_beta_fn(alpha, beta)
+            for j in range(1, n + 1)
+        ]
+    )
+    w = np.exp(logw - logw.max())
+    counts = np.array([ncr(n - 1, j - 1) for j in range(1, n + 1)], dtype=float)
+    w = w / (w * counts).sum()          # Σ_j C(n−1, j−1)·w_j = 1
+
+    sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    if m is None:
+        if n > 16:
+            raise ValueError("full Beta-Shapley enumeration needs n <= 16; pass m")
+        game.precompute(list(powerset(list(selected))))
+        for i in range(n):
+            others = [k for k in range(n) if k != i]
+            subsets = chain.from_iterable(
+                combinations(others, r) for r in range(0, n)
+            )
+            for S in subsets:
+                u_s = game.eval_utility(selected[list(S)])
+                u_si = game.eval_utility(selected[list(S) + [i]])
+                for d in range(game.utility_dim):
+                    sv[d][i] += w[len(S)] * (u_si[d] - u_s[d])
+        return _merge_with_default(game, sv)
+
+    # Monte-Carlo: position ~ weight mass, subset uniform at that size
+    pos_p = w * counts
+    pos_p = pos_p / pos_p.sum()
+    draws = []  # (client i, subset S of others)
+    for i in range(n):
+        others = np.array([k for k in range(n) if k != i])
+        for _ in range(m):
+            j = int(rng.choice(n, p=pos_p)) + 1
+            S = tuple(sorted(rng.choice(others, size=j - 1, replace=False)))
+            draws.append((i, S))
+    game.precompute(
+        [selected[list(S)] for _, S in draws]
+        + [selected[list(S) + [i]] for i, S in draws]
+    )
+    for i, S in draws:
+        u_s = game.eval_utility(selected[list(S)])
+        u_si = game.eval_utility(selected[list(S) + [i]])
+        for d in range(game.utility_dim):
+            # importance weight: sampled ∝ w·counts, target weight w per
+            # subset ⇒ each sample contributes its marginal / m (the
+            # position mass already matches the estimand's weighting)
+            sv[d][i] += (u_si[d] - u_s[d]) / m
+    return _merge_with_default(game, sv)
+
+
+def banzhaf_value(
+    game: Game,
+    m: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Data Banzhaf (beyond reference; Wang & Jia 2023): the semivalue with
+    UNIFORM subset weights, φ_i = (1/2^{n−1}) Σ_{S ⊆ N∖i} (u(S∪i) − u(S)) —
+    the maximally noise-robust semivalue (its ranking is the most stable
+    under noisy utility evaluations). ``m=None`` enumerates (n <= ~16);
+    otherwise ``m`` uniform subset draws per client. Not efficient:
+    Σφ ≠ u(N) in general."""
+    rng = rng or np.random.default_rng()
+    n = game.n
+    selected = np.array(game.selected_clients)
+    sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    if m is None:
+        if n > 16:
+            raise ValueError("full Banzhaf enumeration needs n <= 16; pass m")
+        game.precompute(list(powerset(list(selected))))
+        scale = 1.0 / 2 ** (n - 1)
+        for i in range(n):
+            others = [k for k in range(n) if k != i]
+            for S in chain.from_iterable(
+                combinations(others, r) for r in range(0, n)
+            ):
+                u_s = game.eval_utility(selected[list(S)])
+                u_si = game.eval_utility(selected[list(S) + [i]])
+                for d in range(game.utility_dim):
+                    sv[d][i] += scale * (u_si[d] - u_s[d])
+        return _merge_with_default(game, sv)
+    draws = []
+    for i in range(n):
+        others = [k for k in range(n) if k != i]
+        for _ in range(m):
+            mask = rng.random(n - 1) < 0.5
+            draws.append((i, tuple(np.array(others)[mask])))
+    game.precompute(
+        [selected[list(S)] for _, S in draws]
+        + [selected[list(S) + [i]] for i, S in draws]
+    )
+    for i, S in draws:
+        u_s = game.eval_utility(selected[list(S)])
+        u_si = game.eval_utility(selected[list(S) + [i]])
+        for d in range(game.utility_dim):
+            sv[d][i] += (u_si[d] - u_s[d]) / m
+    return _merge_with_default(game, sv)
+
+
 def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
     """One dispatch point for the drivers (serve/start): adaptive budget
     when ``shapley_cfg.target_se > 0``, else the reference's fixed m = 50·n

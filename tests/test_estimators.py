@@ -259,3 +259,87 @@ def test_kernel_shap_rejects_uncovered_clients():
     # a single proper coalition can never cover all 10 clients
     with pytest.raises(ValueError, match="covered no coalition"):
         shapley_kernel(g, m=1, rng=np.random.default_rng(0))
+
+
+def test_beta_shapley_uniform_equals_exact():
+    """Beta(1,1) position weights are uniform -> the exact Shapley value."""
+    from shapley_vit_tpu.shapley.estimators import shapley_beta, shapley_exact
+    from shapley_vit_tpu.shapley.game import TabularGame
+
+    n = 5
+    rng = np.random.default_rng(2)
+    table = {}
+    from itertools import combinations
+
+    for r in range(1, n + 1):
+        for c in combinations(range(n), r):
+            table[frozenset(c)] = rng.normal(size=2)
+    g = TabularGame(table, n)
+    exact = shapley_exact(TabularGame(table, n))
+    got = shapley_beta(g, alpha=1.0, beta=1.0)
+    for d in range(2):
+        for i in range(n):
+            assert got[d][i] == pytest.approx(exact[d][i], abs=1e-9)
+
+
+def test_beta_shapley_weights_shift_and_mc_converges():
+    """beta > 1 up-weights small coalitions; the MC sampler converges to
+    the enumerated value."""
+    from shapley_vit_tpu.shapley.estimators import shapley_beta
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    # additive game: EVERY semivalue returns v_i exactly (marginals const)
+    vals = np.array([[0.4, 1.0], [0.1, -0.3], [0.25, 0.2], [0.05, 0.6]])
+    g = TabularGame(additive_table(vals), n_all=4)
+    got = shapley_beta(g, alpha=1.0, beta=8.0)
+    for d in range(2):
+        for i in range(4):
+            assert got[d][i] == pytest.approx(vals[i][d], abs=1e-9)
+
+    # non-additive: MC matches enumeration within sampling error
+    n = 5
+    rng = np.random.default_rng(5)
+    from itertools import combinations
+
+    table = {
+        frozenset(c): rng.normal(size=2)
+        for r in range(1, n + 1)
+        for c in combinations(range(n), r)
+    }
+    want = shapley_beta(TabularGame(table, n), alpha=1.0, beta=4.0)
+    errs = []
+    for s in range(6):
+        got = shapley_beta(
+            TabularGame(table, n), alpha=1.0, beta=4.0, m=800,
+            rng=np.random.default_rng(s),
+        )
+        errs.append(
+            max(abs(got[d][i] - want[d][i]) for d in range(2) for i in range(n))
+        )
+    assert np.mean(errs) < 0.12, errs
+
+
+def test_banzhaf_additive_and_mc():
+    from shapley_vit_tpu.shapley.estimators import banzhaf_value
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    vals = np.array([[0.4, 1.0], [0.1, -0.3], [0.25, 0.2]])
+    g = TabularGame(additive_table(vals), n_all=3)
+    got = banzhaf_value(g)
+    for d in range(2):
+        for i in range(3):
+            assert got[d][i] == pytest.approx(vals[i][d], abs=1e-9)
+
+    n = 5
+    rng = np.random.default_rng(9)
+    from itertools import combinations
+
+    table = {
+        frozenset(c): rng.normal(size=2)
+        for r in range(1, n + 1)
+        for c in combinations(range(n), r)
+    }
+    want = banzhaf_value(TabularGame(table, n))
+    got = banzhaf_value(TabularGame(table, n), m=1500, rng=np.random.default_rng(1))
+    err = max(abs(got[d][i] - want[d][i]) for d in range(2) for i in range(n))
+    assert err < 0.15, err
