@@ -87,8 +87,11 @@ class TrainConfig:
     resume: bool = False
     load_model: Optional[str] = None
     snapshot_fname_prefix: str = ""
-    # DP noise (reference opts.py:87)
+    # DP noise (reference opts.py:87). The reference DEFAULT is 0.5 with no
+    # consumer; DP-SGD is therefore gated on the explicit use_dp opt-in
+    # (a >0 multiplier alone must not silently switch optimizers)
     noise_multiplier: float = 0.5
+    use_dp: bool = False
     # Label-flipping poisoning fixture (reference client.py:53-59)
     label_flip_prob: float = 0.0
 

@@ -114,45 +114,63 @@ def run_client(
             )
         )
     n_local = int(len(labels))
+    if n_local == 0:
+        raise ValueError(f"client {client_id} has an empty local shard")
+    if steps_per_epoch < 1:
+        raise ValueError("steps_per_epoch must be >= 1")
     batch = min(cfg.train.train_batch * 8, n_local) or 1
 
-    if cfg.train.noise_multiplier > 0 and cfg.train.lr < 1.0:
+    # DP-SGD is an explicit opt-in (cfg.train.use_dp): the reference's
+    # --noise-multiplier DEFAULT is 0.5, so a >0 multiplier alone must not
+    # silently switch optimizers. Label flipping applies in BOTH modes
+    # (the DP step has no built-in flip; it is applied host-side below).
+    dp = cfg.train.use_dp and cfg.train.noise_multiplier > 0
+    if dp:
         step, _opt = tr.make_dp_train_step(
             fwd, learning_rate=cfg.train.lr, l2_norm_clip=1.0,
             noise_multiplier=cfg.train.noise_multiplier,
             seed=seed + client_id, num_classes=spec.num_classes,
         )
-        dp = True
-        opt_state = _opt.init(init_lora)
+        init_opt_state = _opt.init
     else:
         opt = optax.adam(5e-3)
         step = tr.make_train_step(
             fwd, opt, spec.num_classes,
             label_flip_prob=cfg.train.label_flip_prob,
         )
-        dp = False
-        opt_state = opt.init(init_lora)
+        init_opt_state = opt.init
 
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
-    overlay = init_lora
     rng = np.random.default_rng(seed * 1000 + client_id)
     key = jax.random.key(seed * 1000 + client_id)
+    lora = init_lora
+    state = init_opt_state(lora)
+    last_global: Optional[str] = None
     written: List[str] = []
     for epoch in range(start_epoch, start_epoch + epochs):
-        # FedAvg round-trip: adopt the server's latest exported global
+        # FedAvg round-trip: adopt the server's latest exported global.
+        # Adopting a NEW global resets the optimizer state (fresh moments
+        # for fresh weights); otherwise training continues where the
+        # previous epoch left off — state is never silently discarded.
         g = latest_global_export(cfg.paths.global_model_path)
-        if g is not None:
+        if g is not None and g != last_global:
             try:
-                overlay = ingestion.load_client_lora(g, spec)
+                lora = ingestion.load_client_lora(g, spec)
+                state = init_opt_state(lora)
+                last_global = g
                 logger.info(f"client {client_id}: synced from {os.path.basename(g)}")
             except Exception as e:
                 logger.info(f"client {client_id}: ignoring unreadable global {g}: {e}")
-        lora, state = overlay, opt_state
         for _ in range(steps_per_epoch):
             take = rng.choice(n_local, size=batch, replace=n_local < batch)
             x = jax.numpy.asarray(images[take].astype(np.float32))
             y = jax.numpy.asarray(labels[take])
             if dp:
+                if cfg.train.label_flip_prob > 0:
+                    key, sub = jax.random.split(key)
+                    y = tr.label_flip(
+                        sub, y, spec.num_classes, cfg.train.label_flip_prob
+                    )
                 lora, state, loss = step(base, lora, state, x, y)
             else:
                 key, sub = jax.random.split(key)
@@ -166,7 +184,6 @@ def run_client(
             f"client {client_id}: epoch {epoch} done "
             f"(loss {float(loss):.4f}) -> {p}"
         )
-        overlay = lora
     return written
 
 

@@ -154,7 +154,10 @@ def serve(
     skipped = 0
     current_overlay = init_lora
     while max_rounds is None or len(records) < max_rounds:
-        paths = ingestion.default_checkpoint_paths(
+        # candidate paths per client: the configured filename plus its
+        # sibling format (.pth.tar <-> .npz) so reference torch clients and
+        # svt-client npz writers converge on the same server untouched
+        paths = ingestion.checkpoint_path_candidates(
             root, n, filename=epoch_filename.format(epoch=epoch)
         )
         logger.info(f"round {len(records)}: waiting for epoch-{epoch} checkpoints")

@@ -237,7 +237,8 @@ def get_initial_shapley_value(
     # step 5: wait for + ingest client checkpoints (start.py:134-164)
     if checkpoint_paths is None:
         root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
-        checkpoint_paths = ingestion.default_checkpoint_paths(root, n)
+        # accept the reference's .pth.tar OR svt-client's .npz per client
+        checkpoint_paths = ingestion.checkpoint_path_candidates(root, n)
     # resume runs block indefinitely (checkpoints are known to exist); fresh
     # runs bound the wait at an hour and fail loudly — under policy='wait'
     # the timeout is ignored, so 'fail' is required for the bound to be real
@@ -336,7 +337,9 @@ def get_initial_shapley_value(
     # reads the global model from there) and used for saliency overlays
     participating = [i for i, s in enumerate(selection) if s]
     global_overlay = init_lora
-    if participating:
+    # the aggregation costs ~50 unjitted per-leaf dispatches — only pay it
+    # when something consumes the result (export and/or saliency)
+    if participating and (cfg.paths.global_model_path or cfg.obs.use_grad_cam):
         ratio = tm.fedavg_ratio(
             [clients[i].num_local_data_train for i in participating]
         )

@@ -168,6 +168,28 @@ def default_checkpoint_paths(
     ]
 
 
+def checkpoint_path_candidates(
+    root: str, num_clients: int, filename: str = "ViT_epoch_9.pth.tar"
+) -> List[List[str]]:
+    """Per-client CANDIDATE checkpoint paths: the configured filename plus
+    its sibling in the other supported format (``.pth.tar`` ↔ ``.npz``).
+
+    A mixed fleet converges without configuration: reference clients write
+    torch ``.pth.tar`` while ``svt-client`` writes native ``.npz`` — the
+    server accepts whichever appears (first candidate wins when both do).
+    Feed the result to :func:`wait_for_checkpoints`, which resolves each
+    client to the concrete path that arrived."""
+    alts = [filename]
+    if filename.endswith(".pth.tar"):
+        alts.append(filename[: -len(".pth.tar")] + ".npz")
+    elif filename.endswith(".npz"):
+        alts.append(filename[: -len(".npz")] + ".pth.tar")
+    return [
+        [os.path.join(root, f"client_{i + 1}_model", a) for a in alts]
+        for i in range(num_clients)
+    ]
+
+
 def resolve_data_sizes(
     sizes: Sequence[Optional[int]],
     selection: Sequence[bool],
@@ -207,11 +229,22 @@ def wait_for_checkpoints(
     (reference start.py:212-219 blocks forever), 'skip' returns with the
     subset that arrived, 'fail' raises TimeoutError.
 
+    Each entry of ``paths`` may be ONE path or a sequence of CANDIDATE
+    paths for that client (:func:`checkpoint_path_candidates` — mixed
+    ``.pth.tar``/``.npz`` fleets); the returned ``WatchResult.paths`` hold
+    the concrete path that arrived (first listed candidate wins).
+
     Backend: the native inotify watcher (csrc/svt_runtime.cpp) when built —
-    event-driven, no 1s sleep loop — else pure-Python polling."""
+    event-driven, no 1s sleep loop (single-candidate entries only; grouped
+    candidates poll) — else pure-Python polling."""
     if policy not in ("wait", "skip", "fail"):
         raise ValueError(f"unknown straggler policy {policy!r}")
     start = time.time()
+    groups = [[p] if isinstance(p, str) else list(p) for p in paths]
+    if any(len(g) > 1 for g in groups):
+        use_native = False
+    else:
+        paths = [g[0] for g in groups]
 
     if use_native:
         try:
@@ -234,19 +267,16 @@ def wait_for_checkpoints(
         except (OSError, RuntimeError):
             pass  # fall through to polling
     while True:
-        arrived = [os.path.exists(p) for p in paths]
+        found = [next((p for p in g if os.path.exists(p)), None) for g in groups]
+        arrived = [f is not None for f in found]
         if all(arrived):
-            return WatchResult(list(paths), arrived, time.time() - start)
+            return WatchResult(found, arrived, time.time() - start)
         elapsed = time.time() - start
         if timeout is not None and elapsed >= timeout and policy != "wait":
             if policy == "fail":
-                missing = [p for p, a in zip(paths, arrived) if not a]
+                missing = [g[0] for g, a in zip(groups, arrived) if not a]
                 raise TimeoutError(f"clients never delivered: {missing}")
-            return WatchResult(
-                [p if a else None for p, a in zip(paths, arrived)],
-                arrived,
-                elapsed,
-            )
+            return WatchResult(found, arrived, elapsed)
         if log_fn is not None:
             missing = sum(1 for a in arrived if not a)
             log_fn(f"waiting for {missing} client checkpoint(s)...")

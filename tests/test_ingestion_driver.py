@@ -311,11 +311,10 @@ def test_client_driver_feeds_serve(tmp_path):
         ).load_checkpoint_metadata(paths[0])
         assert meta["num_local_data_train"] > 0
 
-    # the server runs a round against them and exports the new global
-    records = serve(
-        cfg, max_rounds=1, epoch_filename="ViT_epoch_{epoch}.npz",
-        timeout=30.0, policy="fail",
-    )
+    # the server runs a round against them with its DEFAULT (.pth.tar)
+    # filename — the candidate-path watcher accepts the clients' .npz
+    # siblings, so a mixed fleet converges with zero configuration
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
     assert len(records) == 1 and len(records[0]["shapley"]) == 2
     g = latest_global_export(cfg.paths.global_model_path)
     assert g is not None and g.endswith("ViT_global_epoch_0.npz")
@@ -340,6 +339,18 @@ def test_client_driver_dp_and_label_flip(tmp_path):
     cfg.train.label_flip_prob = 0.5
     assert run_client(cfg, client_id=0, epochs=1, steps_per_epoch=1)
 
-    cfg.train.noise_multiplier = 0.5
-    cfg.train.lr = 0.05  # DP-SGD path
+    # DP-SGD is an explicit opt-in: the reference's noise_multiplier
+    # DEFAULT is 0.5, so the flag alone must not switch optimizers
+    cfg.train.use_dp = True
+    cfg.train.lr = 0.05
     assert run_client(cfg, client_id=1, epochs=1, steps_per_epoch=1)
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_client(cfg, client_id=2, epochs=1, steps_per_epoch=0)
+    with pytest.raises(ValueError):
+        run_client(
+            cfg, client_id=2, epochs=1,
+            data=(np.zeros((0, 32, 32, 3), np.float32), np.zeros(0, np.int32)),
+        )
