@@ -119,31 +119,52 @@ def main():
         # where |sv − exact| <= 2·se — near-nominal (~95%) means the
         # whiskers are honest for that estimator/game pairing
         ex = exact_sv(table, n)
+        # semivalue ground truths: each MC semivalue's coverage is judged
+        # against ITS OWN enumerated estimand (Banzhaf/Beta(1,4) are not the
+        # Shapley value — comparing to `ex` would conflate bias with SE)
+        def enumerated(fn):
+            g = TabularGame(table, n)
+            sv = fn(g)
+            return np.array([[sv[d][i] for i in range(n)] for d in range(2)])
+
+        ex_banzhaf = enumerated(lambda g: est.banzhaf_value(g))
+        ex_beta14 = enumerated(lambda g: est.shapley_beta(g, alpha=1.0, beta=4.0))
+        # budget-matched draws: each semivalue draw costs 2 evals and runs
+        # per client, so m/n draws per client matches cc's 2m raw evals
+        m_semi = max(4, m // n)
         se_variants = {
-            "cc_uniform": lambda g, r: est.shapley_comp_contrib(
+            "cc_uniform": (ex, lambda g, r: est.shapley_comp_contrib(
                 g, m, rng=r, return_se=True
-            ),
-            "mc_plain": lambda g, r: est.shapley_monte_carlo(
+            )),
+            "mc_plain": (ex, lambda g, r: est.shapley_monte_carlo(
                 g, m // n * 2, rng=r, return_se=True
-            ),
-            "owen": lambda g, r: est.shapley_owen(
+            )),
+            "owen": (ex, lambda g, r: est.shapley_owen(
                 g, q_num=8, m_per_q=max(2, round(2 * m / (n + 1) / 8)), rng=r,
                 return_se=True,
-            ),
-            "kernel": lambda g, r: est.shapley_kernel(
+            )),
+            "kernel": (ex, lambda g, r: est.shapley_kernel(
                 g, m=2 * m, rng=r, return_se=True
-            ),
+            )),
+            "beta_1_4": (ex_beta14, lambda g, r: est.shapley_beta(
+                g, alpha=1.0, beta=4.0, m=m_semi, rng=r, return_se=True
+            )),
+            "banzhaf": (ex_banzhaf, lambda g, r: est.banzhaf_value(
+                g, m=m_semi, rng=r, return_se=True
+            )),
         }
-        for name, fn in se_variants.items():
+        for name, (truth, fn) in se_variants.items():
             cov = tot = 0
             for s in range(min(args.seeds, 40)):
                 g = TabularGame(table, n)
                 sv, se = fn(g, np.random.default_rng(s))
                 a = np.array([[sv[d][i] for i in range(n)] for d in range(2)])
                 e = np.array([[se[d][i] for i in range(n)] for d in range(2)])
-                cov += int(np.sum(np.abs(a - ex) <= 2 * e))
+                cov += int(np.sum(np.abs(a - truth) <= 2 * e))
                 tot += a.size
-            results[kind][name]["se_coverage_2sigma"] = round(cov / tot, 3)
+            results[kind].setdefault(name, {})["se_coverage_2sigma"] = round(
+                cov / tot, 3
+            )
             print(f"{kind:10s} {name:14s} 2sigma-coverage={cov / tot:.2f}")
         # adaptive budget: stop at the fixed-budget run's achieved accuracy.
         # Distinct-eval counts ARE the TPU cost (one vmapped validation pass
