@@ -52,11 +52,19 @@ CONFIGS = {
     # program (fl/training.make_multi_client_train_step) — fwd+bwd+update
     7: dict(variant="base", image=224, classes=4, clients=3, estimator="train",
             batch=64),
+    # the large-n frontier (round-3 VERDICT next #1): the reference is capped
+    # at n=3; scaling the CLIENT axis is where the TPU rebuild must prove the
+    # host-side scoring stays negligible. Runs comp-contrib at the live-path
+    # m=50n, the adaptive-budget variant, and permutation-MC, with utility-
+    # table persistence ON (checkpointed_game, the serve() configuration),
+    # and reports the TPU-eval vs host-scoring wall split per estimator.
+    8: dict(variant="base", image=224, classes=4, clients=32,
+            estimator="large_n"),
 }
 
 
 def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0,
-               eval_mode: str = "overlay") -> dict:
+               eval_mode: str = "overlay", clients: "int | None" = None) -> dict:
     import jax
 
     # persistent executable cache: MC estimators submit several coalition-
@@ -77,7 +85,7 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     )
 
     cfg = CONFIGS[idx]
-    n = cfg["clients"]
+    n = clients if clients is not None else cfg["clients"]
     # explicit CLI --batch wins; else the per-config default (full-delta
     # wants 512 to amortize weight traffic); else 128
     batch = batch if batch is not None else cfg.get("batch", 128)
@@ -90,6 +98,9 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
 
     if cfg["estimator"] == "train":
         return _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed)
+    if cfg["estimator"] == "large_n":
+        return _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed,
+                                   val_size)
     # full_delta: deltas over the WHOLE base tree (the reference's complete
     # state-dict aggregation, utils.py:735-749) instead of the LoRA overlay
     delta_root = base if cfg.get("full_delta") else lora0
@@ -275,6 +286,142 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     }
 
 
+def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size) -> dict:
+    """n=32-client frontier: comp-contrib (fixed m=50n AND adaptive) +
+    permutation-MC over chunked LoRA-overlay eval with persistence on,
+    reporting the TPU-eval vs host-scoring wall split (host share must stay
+    <10% — the reference's serial scatter is utils_shapley.py:284-301)."""
+    import tempfile
+
+    import jax
+
+    from shapley_vit_tpu.data.arrays import ArrayDataset
+    from shapley_vit_tpu.fl import evaluation as ev
+    from shapley_vit_tpu.fl.checkpoint import checkpointed_game
+    from shapley_vit_tpu.models import vit as jvit
+    from shapley_vit_tpu.ops import tree_math as tm
+    from shapley_vit_tpu.parallel.coalition_eval import make_eval_backend
+    from shapley_vit_tpu.shapley import Game
+    from shapley_vit_tpu.shapley.estimators import (
+        shapley_comp_contrib,
+        shapley_comp_contrib_adaptive,
+        shapley_monte_carlo,
+    )
+
+    leaves, treedef = jax.tree.flatten(lora0)
+    deltas = [
+        treedef.unflatten([
+            0.02 * jax.random.normal(k, l.shape)
+            for k, l in zip(jax.random.split(jax.random.key(seed + 10 + i), len(leaves)), leaves)
+        ])
+        for i in range(n)
+    ]
+    stacked = tm.tree_stack(deltas)
+    chunk = ev.suggest_coalition_chunk(spec.seq_len, spec.hidden, batch)
+    mat = jax.jit(tm.materialize_coalitions)
+    backend = make_eval_backend(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec), coalition_chunk=chunk
+    )
+    rng = np.random.default_rng(seed)
+    host_images = rng.normal(size=(val_size, spec.image, spec.image, 3)).astype(np.float32)
+    host_labels = rng.integers(0, spec.num_classes, size=val_size)
+    data = backend.device_batches(ArrayDataset(images=host_images, labels=host_labels), batch)
+
+    eval_time = {"s": 0.0}
+
+    def eval_fn(W):
+        t0 = time.time()
+        out = backend.evaluate(base, mat(lora0, stacked, W), data, dataset_size=val_size)
+        eval_time["s"] += time.time() - t0
+        return out
+
+    # the compiled coalition-batch shape is min(block, chunk): the estimator
+    # submits each round's coalitions in one precompute, checkpointed_game
+    # splits it into ``block``-sized batches, and the evaluator chunks each
+    # batch by ``chunk``. Cap the block: on tiny models the memory-derived
+    # chunk is ~50k and warming/materializing that many coalition trees at
+    # once is pure waste (the real-TPU ViT-B chunk is ~16-24, far below it)
+    block = min(chunk or 8, 256)
+    eval_fn(np.full((block, n), 1.0 / n, dtype=np.float32))  # warm block shape
+
+    tmpdir = tempfile.mkdtemp(prefix="svt_bench8_")
+
+    def fresh_game(tag):
+        g = Game(
+            eval_coalitions_fn=eval_fn,
+            num_local_data=[1000] * n,
+            client_selection_vector=[True] * n,
+            previous_utility=[0.0, 0.0],
+        )
+        # persistence ON, the serve() configuration: block-wise saves sized
+        # to the evaluator chunk so batch shapes match what compiles anyway
+        return checkpointed_game(
+            g, os.path.join(tmpdir, f"util_{tag}.npz"), block=block
+        )
+
+    m_fixed = 50 * n
+    runs = {}
+    est_rng = np.random.default_rng(seed + 99)
+
+    g = fresh_game("cc_fixed")
+    eval_time["s"] = 0.0
+    t0 = time.time()
+    sv, se = shapley_comp_contrib(g, m_fixed, rng=est_rng, return_se=True)
+    wall = time.time() - t0
+    max_se = max(max(d.values()) for d in se)
+    runs["cc_fixed_m50n"] = dict(
+        m=m_fixed, evals=g.num_evaluations, wall_s=round(wall, 2),
+        tpu_eval_s=round(eval_time["s"], 2),
+        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+        evals_per_s=round(g.num_evaluations / wall, 3),
+        max_se=round(float(max_se), 5),
+    )
+
+    g = fresh_game("cc_adaptive")
+    eval_time["s"] = 0.0
+    t0 = time.time()
+    sv, se, m_used = shapley_comp_contrib_adaptive(
+        g, target_se=float(max_se), rng=np.random.default_rng(seed + 100),
+        stratify="balanced", block=4 * n, max_m=m_fixed,
+    )
+    wall = time.time() - t0
+    runs["cc_adaptive"] = dict(
+        m=m_used, evals=g.num_evaluations, wall_s=round(wall, 2),
+        tpu_eval_s=round(eval_time["s"], 2),
+        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+        evals_per_s=round(g.num_evaluations / wall, 3),
+        target_se=round(float(max_se), 5),
+    )
+
+    g = fresh_game("mc")
+    eval_time["s"] = 0.0
+    t0 = time.time()
+    shapley_monte_carlo(g, m=10, rng=np.random.default_rng(seed + 101))
+    wall = time.time() - t0
+    runs["mc_10perm"] = dict(
+        evals=g.num_evaluations, wall_s=round(wall, 2),
+        tpu_eval_s=round(eval_time["s"], 2),
+        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+        evals_per_s=round(g.num_evaluations / wall, 3),
+    )
+
+    return {
+        "config": idx,
+        "model": f"ViT-{cfg['variant']}/{spec.patch}",
+        "clients": n,
+        "estimator": "large_n",
+        "val_size": val_size,
+        "coalition_chunk": chunk,
+        "persistence": True,
+        "runs": runs,
+        # the headline row: live-path estimator at the live-path budget
+        "wall_clock_s": runs["cc_fixed_m50n"]["wall_s"],
+        "distinct_coalition_evals": runs["cc_fixed_m50n"]["evals"],
+        "coalition_evals_per_s": runs["cc_fixed_m50n"]["evals_per_s"],
+        "host_share_pct": runs["cc_fixed_m50n"]["host_share_pct"],
+    }
+
+
 def _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed) -> dict:
     """Multi-client fused LoRA training throughput (fwd+bwd+update)."""
     import jax
@@ -339,12 +486,15 @@ def main():
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--eval-mode", choices=("overlay", "merged"), default="overlay")
+    # client-count override (config 8's n∈{8,16,32} sweep)
+    p.add_argument("--clients", type=int, default=None)
     args = p.parse_args()
 
     configs = sorted(CONFIGS) if args.all else [args.config]
     results = []
     for idx in configs:
-        res = run_config(idx, args.val_size, args.batch, eval_mode=args.eval_mode)
+        res = run_config(idx, args.val_size, args.batch, eval_mode=args.eval_mode,
+                         clients=args.clients)
         print(json.dumps(res))
         results.append(res)
     if args.out:

@@ -5,6 +5,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 from benchmarks.run import run_config
 
 
@@ -25,6 +27,7 @@ def test_config1_merged_eval_mode():
     assert res["coalition_evals_per_s"] > 0
 
 
+@pytest.mark.slow
 def test_config4_gtg_dirichlet_sizes():
     # micro-ize by monkeypatching the variant to keep CI fast
     from benchmarks import run as br
@@ -70,3 +73,26 @@ def test_config7_train_step_micro():
         assert res["train_images_per_s"] > 0
     finally:
         br.CONFIGS[7] = orig
+
+
+@pytest.mark.slow
+def test_config8_large_n_micro():
+    """Config 8 (the large-n frontier) on the CPU mesh with a micro model
+    and n=6: all three estimator runs complete with persistence on, and the
+    TPU-eval / host-scoring wall split is reported."""
+    from benchmarks import run as br
+
+    orig = dict(br.CONFIGS[8])
+    br.CONFIGS[8].update(dict(variant="micro", image=16, classes=4, clients=6))
+    try:
+        res = br.run_config(8, val_size=16, batch=8)
+        assert res["estimator"] == "large_n"
+        assert set(res["runs"]) == {"cc_fixed_m50n", "cc_adaptive", "mc_10perm"}
+        for r in res["runs"].values():
+            assert r["evals"] > 0
+            assert r["wall_s"] >= r["tpu_eval_s"] >= 0
+            assert 0 <= r["host_share_pct"] <= 100
+        assert res["runs"]["cc_fixed_m50n"]["m"] == 300  # 50n at n=6
+        assert res["persistence"] is True
+    finally:
+        br.CONFIGS[8] = orig
