@@ -19,6 +19,7 @@ from shapley_vit_tpu.models.zoo import build_network
 from shapley_vit_tpu.ops import tree_math as tm
 
 
+@pytest.mark.slow
 def test_resnet18_full_model_coalition_eval(rng):
     """3 clients, whole-variables deltas, chunked coalition eval == the
     serial FedAvg-apply-evaluate loop (the reference's per-coalition path,

@@ -15,6 +15,7 @@ def small_input():
     return jnp.zeros((1, 299, 299, 3))
 
 
+@pytest.mark.slow
 def test_inception3_output_shape(small_input):
     model = inc.Inception3(num_classes=1001)
     variables = model.init(jax.random.key(0), small_input, train=False)

@@ -33,12 +33,14 @@ def test_medium_variants_forward(name):
     assert out.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_resnet50_builds():
     module, variables, apply_fn = zoo.get_network("ResNet50", 3, 10, (32, 32), jax.random.key(0))
     out = apply_fn(variables, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_grayscale_channel_quirks():
     # channel==1 first-layer padding quirks + 28->32 ConvNet pad
     for name in ("ConvNet", "LeNet", "AlexNet", "VGG11"):
