@@ -12,6 +12,7 @@
 //
 // Build: make -C csrc  (produces libsvt_runtime.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cerrno>
 #include <chrono>
@@ -127,6 +128,82 @@ int svt_wait_for_files(const char** paths, int n, long timeout_ms,
 
   ::close(fd);
   return count;
+}
+
+// Wait until every GROUP of candidate paths has at least one member present.
+//
+// A "group" is one client that may deliver its checkpoint under any of
+// several filenames (.pth.tar from reference torch clients, .npz from
+// svt-client — fl/ingestion.py:checkpoint_path_candidates). The flat
+// ``paths`` array carries all candidates; ``group_of[i]`` maps path i to its
+// group id in [0, n_groups).
+//
+//   paths      : array of n NUL-terminated paths (all groups' candidates)
+//   group_of   : n ints — group id per path
+//   n          : number of paths
+//   n_groups   : number of groups
+//   timeout_ms : <0 waits forever; otherwise returns after timeout
+//   arrived    : out array of n ints (1 = that path exists at return)
+//
+// Returns: number of SATISFIED groups (== n_groups on full success), or -1
+// on setup error.
+int svt_wait_for_file_groups(const char** paths, const int* group_of, int n,
+                             int n_groups, long timeout_ms, int* arrived) {
+  using clock = std::chrono::steady_clock;
+  const auto deadline =
+      timeout_ms < 0 ? clock::time_point::max()
+                     : clock::now() + std::chrono::milliseconds(timeout_ms);
+
+  int fd = ::inotify_init1(IN_NONBLOCK | IN_CLOEXEC);
+  if (fd < 0) return -1;
+
+  std::unordered_map<std::string, int> dir_to_wd;
+  auto ensure_watch = [&](const std::string& dir) {
+    if (dir_to_wd.count(dir)) return;
+    int wd = ::inotify_add_watch(
+        fd, dir.c_str(), IN_MOVED_TO | IN_CLOSE_WRITE | IN_CREATE);
+    if (wd >= 0) dir_to_wd[dir] = wd;
+  };
+  for (int i = 0; i < n; ++i) ensure_watch(dirname_of(paths[i]));
+
+  std::vector<char> group_done(n_groups, 0);
+  auto scan = [&]() {
+    std::fill(group_done.begin(), group_done.end(), 0);
+    for (int i = 0; i < n; ++i) {
+      arrived[i] = file_exists(paths[i]) ? 1 : 0;
+      if (arrived[i] && group_of[i] >= 0 && group_of[i] < n_groups)
+        group_done[group_of[i]] = 1;
+    }
+    int done = 0;
+    for (int g = 0; g < n_groups; ++g) done += group_done[g];
+    return done;
+  };
+
+  int done = scan();
+  char buf[4096] __attribute__((aligned(8)));
+  while (done < n_groups) {
+    auto now = clock::now();
+    if (now >= deadline) break;
+    long wait_ms = 200;  // re-scan floor: catches dirs created late + races
+    if (deadline != clock::time_point::max()) {
+      auto left = std::chrono::duration_cast<std::chrono::milliseconds>(
+                      deadline - now)
+                      .count();
+      if (left < wait_ms) wait_ms = left;
+    }
+    struct pollfd pfd = {fd, POLLIN, 0};
+    int rc = ::poll(&pfd, 1, static_cast<int>(wait_ms));
+    if (rc > 0) {
+      while (::read(fd, buf, sizeof(buf)) > 0) {
+      }
+    }
+    for (int i = 0; i < n; ++i)
+      if (!arrived[i]) ensure_watch(dirname_of(paths[i]));
+    done = scan();
+  }
+
+  ::close(fd);
+  return done;
 }
 
 // ---------------------------------------------------------------------------

@@ -235,16 +235,13 @@ def wait_for_checkpoints(
     the concrete path that arrived (first listed candidate wins).
 
     Backend: the native inotify watcher (csrc/svt_runtime.cpp) when built —
-    event-driven, no 1s sleep loop (single-candidate entries only; grouped
-    candidates poll) — else pure-Python polling."""
+    event-driven, no 1s sleep loop; grouped candidates use the group-aware
+    wait (``svt_wait_for_file_groups``: any candidate satisfies its client) —
+    else pure-Python polling."""
     if policy not in ("wait", "skip", "fail"):
         raise ValueError(f"unknown straggler policy {policy!r}")
     start = time.time()
     groups = [[p] if isinstance(p, str) else list(p) for p in paths]
-    if any(len(g) > 1 for g in groups):
-        use_native = False
-    else:
-        paths = [g[0] for g in groups]
 
     if use_native:
         try:
@@ -252,20 +249,19 @@ def wait_for_checkpoints(
 
             if native.native_available():
                 eff_timeout = None if policy == "wait" else timeout
-                arrived, count = native.wait_for_files(paths, timeout=eff_timeout)
-                elapsed = time.time() - start
-                if count == len(paths):
-                    return WatchResult(list(paths), arrived, elapsed)
-                if policy == "fail":
-                    missing = [p for p, a in zip(paths, arrived) if not a]
-                    raise TimeoutError(f"clients never delivered: {missing}")
-                return WatchResult(
-                    [p if a else None for p, a in zip(paths, arrived)],
-                    arrived,
-                    elapsed,
+                found, count = native.wait_for_file_groups(
+                    groups, timeout=eff_timeout
                 )
-        except (OSError, RuntimeError):
-            pass  # fall through to polling
+                elapsed = time.time() - start
+                arrived = [f is not None for f in found]
+                if count == len(groups):
+                    return WatchResult(found, arrived, elapsed)
+                if policy == "fail":
+                    missing = [g[0] for g, a in zip(groups, arrived) if not a]
+                    raise TimeoutError(f"clients never delivered: {missing}")
+                return WatchResult(found, arrived, elapsed)
+        except (OSError, RuntimeError, AttributeError):
+            pass  # fall through to polling (stale .so without the group API)
     while True:
         found = [next((p for p in g if os.path.exists(p)), None) for g in groups]
         arrived = [f is not None for f in found]

@@ -47,6 +47,12 @@ def load_native(auto_build: bool = True):
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.svt_wait_for_file_groups.restype = ctypes.c_int
+    lib.svt_wait_for_file_groups.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.svt_preload_files.restype = ctypes.c_int
     lib.svt_preload_files.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -85,6 +91,43 @@ def wait_for_files(
     if count < 0:
         raise OSError("svt_wait_for_files failed")
     return [bool(a) for a in arrived], count
+
+
+def wait_for_file_groups(
+    groups: Sequence[Sequence[str]], timeout: Optional[float] = None
+) -> Tuple[List[Optional[str]], int]:
+    """inotify-blocking wait until every GROUP has at least one of its
+    candidate paths present (mixed ``.pth.tar``/``.npz`` client fleets —
+    ingestion.checkpoint_path_candidates).
+
+    Returns (per-group resolved path or None, count of satisfied groups).
+    Within a group the FIRST listed candidate wins when several exist.
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("libsvt_runtime.so not built (run make -C csrc)")
+    flat: List[str] = []
+    gids: List[int] = []
+    for g, cands in enumerate(groups):
+        for p in cands:
+            flat.append(p)
+            gids.append(g)
+    n = len(flat)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in flat])
+    c_gids = (ctypes.c_int * n)(*gids)
+    arrived = (ctypes.c_int * n)()
+    timeout_ms = -1 if timeout is None else int(timeout * 1000)
+    done = lib.svt_wait_for_file_groups(
+        c_paths, c_gids, n, len(groups), timeout_ms, arrived
+    )
+    if done < 0:
+        raise OSError("svt_wait_for_file_groups failed")
+    found: List[Optional[str]] = [None] * len(groups)
+    for i in range(n):
+        if arrived[i] and found[gids[i]] is None:
+            found[gids[i]] = flat[i]
+    return found, done
 
 
 def preload_files(paths: Sequence[str], threads: int = 0) -> List[Optional[bytes]]:

@@ -56,6 +56,42 @@ def test_wait_for_files_timeout(tmp_path):
     assert arrived == [False] and count == 0
 
 
+def test_wait_for_file_groups_any_candidate(tmp_path):
+    """A client satisfies its group with WHICHEVER format arrives — the
+    event-driven path now covers mixed .pth.tar/.npz fleets (round-3 advice:
+    grouped candidates used to force the 1s poll loop)."""
+    groups = [
+        [str(tmp_path / "c1" / "m.pth.tar"), str(tmp_path / "c1" / "m.npz")],
+        [str(tmp_path / "c2" / "m.pth.tar"), str(tmp_path / "c2" / "m.npz")],
+    ]
+
+    def deliver():
+        time.sleep(0.25)
+        for path in (groups[0][1], groups[1][0]):  # one .npz, one .pth.tar
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            open(tmp, "w").write("y")
+            os.replace(tmp, path)
+
+    t = threading.Thread(target=deliver)
+    t.start()
+    t0 = time.time()
+    found, count = native.wait_for_file_groups(groups, timeout=5.0)
+    latency = time.time() - t0
+    t.join()
+    assert count == 2
+    assert found[0].endswith(".npz") and found[1].endswith(".pth.tar")
+    assert latency < 2.0  # event-driven, not a 1s-per-cycle poll
+
+
+def test_wait_for_file_groups_timeout(tmp_path):
+    found, count = native.wait_for_file_groups(
+        [[str(tmp_path / "never.pth.tar"), str(tmp_path / "never.npz")]],
+        timeout=0.2,
+    )
+    assert found == [None] and count == 0
+
+
 def test_preload_files_contents_and_errors(tmp_path, rng):
     paths = []
     blobs = []
@@ -83,3 +119,21 @@ def test_ingestion_uses_native_backend(tmp_path):
         [p, str(tmp_path / "missing.npz")], timeout=0.2, policy="skip"
     )
     assert r.arrived == [True, False] and r.paths[1] is None
+
+
+def test_ingestion_grouped_candidates_native(tmp_path):
+    """Grouped candidate paths resolve through the native group watcher
+    (first listed candidate wins when both formats exist)."""
+    root = str(tmp_path)
+    cands = ingestion.checkpoint_path_candidates(root, 2, filename="m.npz")
+    # client 1 delivers .npz (first candidate), client 2 the .pth.tar sibling
+    os.makedirs(os.path.dirname(cands[0][0]), exist_ok=True)
+    ingestion.atomic_save_npz(cands[0][0], {"x": np.zeros(1)})
+    os.makedirs(os.path.dirname(cands[1][1]), exist_ok=True)
+    open(cands[1][1], "w").write("torch-bytes")
+    r = ingestion.wait_for_checkpoints(cands, timeout=2.0, policy="fail")
+    assert r.paths[0].endswith(".npz") and r.paths[1].endswith(".pth.tar")
+    # straggler skip still works through the native group path
+    cands3 = ingestion.checkpoint_path_candidates(root, 3, filename="m.npz")
+    r = ingestion.wait_for_checkpoints(cands3, timeout=0.3, policy="skip")
+    assert r.arrived == [True, True, False] and r.paths[2] is None
