@@ -87,12 +87,33 @@ def _prep_batch(mesh: Mesh, images, labels, weights=None):
     )
 
 
-def shard_batches(mesh: Mesh, batches) -> list:
+class ShardedBatches(list):
+    """List of sharded (images, labels, weights) triples that also carries
+    the host-known real-example count (``real_examples``). The evaluator
+    reads the count from here instead of summing a mesh-sharded weights
+    array — which spans non-addressable devices in multi-process runs,
+    where ``np.asarray`` would raise."""
+
+    real_examples: float = 0.0
+
+
+def shard_batches(mesh: Mesh, batches) -> ShardedBatches:
     """Prepare a validation stream ONCE for a mesh: returns a list of
     (images, labels, weights) triples sharded over the ``data`` axis.
     Drivers call this at bring-up and reuse the result every round — the
-    sharded evaluator skips per-call resharding for triples it produced."""
-    return [_prep_batch(mesh, *b) for b in (batches() if callable(batches) else batches)]
+    sharded evaluator skips per-call resharding for triples it produced.
+    The returned list's ``real_examples`` records the unpadded example
+    count (weighted), captured on the host before device placement."""
+    out = ShardedBatches()
+    total = 0.0
+    for b in (batches() if callable(batches) else batches):
+        if len(b) == 3 and b[2] is not None:
+            total += float(np.asarray(b[2], np.float32).sum())
+        else:
+            total += float(len(b[1]))
+        out.append(_prep_batch(mesh, *b))
+    out.real_examples = total
+    return out
 
 
 def make_sharded_coalition_evaluator(
@@ -147,25 +168,41 @@ def make_sharded_coalition_evaluator(
         shared_d = put_replicated(mesh, shared)
         C = jax.tree.leaves(stacked_varying)[0].shape[0]
         if callable(batches):
-            batches = list(batches())
-        elif not isinstance(batches, (list, tuple)):
+            batches = batches()
+        if not isinstance(batches, (list, tuple)):
             # a one-shot generator would be exhausted by the first chunk
+            # (ShardedBatches IS a list and passes through, keeping its
+            # real_examples attribute)
             batches = list(batches)
         # real-example count accumulates at PREP time (host-known for pairs;
-        # one weights readback per pre-sharded triple) — never inside the
-        # chunk loop, where it would cost a blocking per-batch-per-chunk
-        # transfer (count DISPATCHES and TRANSFERS — BENCH_NOTES)
+        # shard_batches carries it for triples) — never inside the chunk
+        # loop, where it would cost a blocking per-batch-per-chunk transfer
+        # (count DISPATCHES and TRANSFERS — BENCH_NOTES)
         prepped = []
-        seen = 0.0
-        for b in batches:
-            if len(b) == 3:
-                prepped.append(b)
-                if dataset_size is None:
+        seen = getattr(batches, "real_examples", None)
+        if seen is None:
+            seen = 0.0
+            for b in batches:
+                if len(b) == 3:
+                    prepped.append(b)
+                    if dataset_size is not None:
+                        continue
+                    if jax.process_count() > 1:
+                        # a mesh-sharded weights array spans non-addressable
+                        # devices here; reading it back would raise deep in
+                        # np.asarray — fail with the actionable contract
+                        raise ValueError(
+                            "multi-process evaluate() with pre-sharded "
+                            "triples needs dataset_size= (or use "
+                            "shard_batches, which records the count)"
+                        )
                     seen += float(np.asarray(b[2]).sum())
-            else:
-                if dataset_size is None:
-                    seen += float(len(b[1]))
-                prepped.append(_prep_batch(mesh, *b))
+                else:
+                    if dataset_size is None:
+                        seen += float(len(b[1]))
+                    prepped.append(_prep_batch(mesh, *b))
+        else:
+            prepped = list(batches)
 
         def run_chunk(params_chunk) -> Tuple[np.ndarray, np.ndarray]:
             cc = jax.tree.leaves(params_chunk)[0].shape[0]
