@@ -253,14 +253,17 @@ def serve(
             from shapley_vit_tpu.fl import checkpoint as ckpt
 
             with timer.span("persist_setup"):
-                # file-digest fingerprint (zero device traffic — the old
-                # stacked-tree digest cost a 14MB D2H ≈ 0.2 s/round): the
-                # file bytes were digested BEFORE ingest (see above); the
-                # overlay dependence of the deltas rides on prev_utility
+                # file-digest fingerprint (the old stacked-tree digest cost
+                # a 14MB D2H ≈ 0.2 s/round): the file bytes were digested
+                # BEFORE ingest (see above); the deltas' dependence on the
+                # current global overlay is captured directly by a strided
+                # few-leaf digest (a few-KB fetch) — prev_utility alone
+                # left a narrow staleness hole (round-3 advice)
                 fp = ckpt.fingerprint_files(
                     [],
                     extra=(
                         files_digest, num_local_data, selection,
+                        ckpt.overlay_digest(start_overlay),
                         [f"{u:.12g}" for u in prev_utility],
                     ),
                 )

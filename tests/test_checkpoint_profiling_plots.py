@@ -338,3 +338,35 @@ def test_fingerprint_files_sensitivity(tmp_path):
     assert ckpt.fingerprint_files([p1], extra=extra) != ckpt.fingerprint_files(
         [p1], extra=extra2
     )
+
+
+def test_overlay_digest_identifies_overlay(rng):
+    """overlay_digest: restart-stable (same values -> same digest, whether
+    numpy or device arrays), sensitive to an overlay advance (any-leaf
+    change), cheap (fetches a bounded sample, not the tree). Closes the
+    round-3 advice staleness hole where overlay dependence rode only on
+    prev_utility's 12-digit formatting."""
+    import jax
+    import jax.numpy as jnp
+
+    overlay = {
+        "q": {"A": rng.normal(size=(64, 8)).astype(np.float32),
+              "B": rng.normal(size=(8, 64)).astype(np.float32)},
+        "head": {"w": rng.normal(size=(32, 4)).astype(np.float32),
+                 "b": np.zeros(4, np.float32)},
+    }
+    d0 = ckpt.overlay_digest(overlay)
+    assert d0 == ckpt.overlay_digest(overlay)  # deterministic
+    on_device = jax.tree.map(jnp.asarray, overlay)
+    assert d0 == ckpt.overlay_digest(on_device)  # host/device agree
+    # an aggregated-delta advance perturbs every leaf a little
+    advanced = jax.tree.map(lambda l: l + 1e-3, overlay)
+    assert d0 != ckpt.overlay_digest(advanced)
+    # even a single-leaf change (e.g. only the head trained) is caught
+    head_only = {**overlay, "head": {"w": overlay["head"]["w"],
+                                     "b": overlay["head"]["b"] + 1e-3}}
+    assert d0 != ckpt.overlay_digest(head_only)
+    # bf16 leaves digest without error (TPU overlays are bf16)
+    bf16 = jax.tree.map(lambda l: jnp.asarray(l, jnp.bfloat16), overlay)
+    assert ckpt.overlay_digest(bf16) == ckpt.overlay_digest(bf16)
+    assert ckpt.overlay_digest(bf16) != d0
