@@ -68,8 +68,10 @@ class DistConfig:
     # more than one is present (the reference's always-on nn.DataParallel,
     # start.py:283, done TPU-right); "off" = force the single-chip evaluator.
     mesh: str = "auto"
-    # coalition-axis size of the driver mesh; 0 = pure data-parallel
-    # (batch sharded over every device, coalitions vmapped locally)
+    # coalition-axis size of the driver mesh; 0 = auto-select from the
+    # workload (parallel.autoshape: minimal padded work, then largest
+    # per-device batch, memory-filtered — the drivers pass hints; callers
+    # without hints get pure data-parallel). >=1 forces that split.
     mesh_coalition_shards: int = 0
 
 

@@ -138,6 +138,19 @@ def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
         fwd = lambda b, l, x: jvit.vit_forward(b, l, x, spec)
         mat = jax.jit(tm.materialize_coalitions)
         stack_single = None
+    # workload hints for the auto mesh split (parallel.autoshape): the
+    # dominant per-call coalition count and the per-coalition residency —
+    # merged mode folds dense q/v kernels (~2·L·D² compute-dtype bytes,
+    # 28MB for ViT-B) on top of the overlay; overlay mode holds the LoRA
+    # trees only
+    from shapley_vit_tpu.parallel.autoshape import (
+        coalition_residency_bytes,
+        powerset_dominant_coalitions,
+    )
+
+    cbytes = coalition_residency_bytes(init_lora) or 0
+    if mode == "merged":
+        cbytes += 2 * spec.depth * spec.hidden * spec.hidden * 2
     backend = make_eval_backend(
         fwd,
         coalition_chunk=chunk,
@@ -147,6 +160,10 @@ def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
         dist_cfg=cfg.dist,
         log_fn=log_fn,
         stack_single=stack_single,
+        typical_coalitions=powerset_dominant_coalitions(n, chunk),
+        eval_batch=cfg.data.eval_batch_size,
+        coalition_bytes=cbytes,
+        model_bytes=coalition_residency_bytes(base) or 0,
     )
 
     def eval_coalitions(overlay, stacked_deltas, W, batches, dataset_size=None):

@@ -364,13 +364,20 @@ def make_eval_backend(
     devices=None,
     log_fn: Optional[Callable[[str], None]] = None,
     stack_single: Optional[Callable[[PyTree], PyTree]] = None,
+    typical_coalitions: int = 0,
+    eval_batch: int = 0,
+    coalition_bytes: int = 0,
+    model_bytes: int = 0,
 ) -> EvalBackend:
     """Device-count-gated backend factory for the drivers.
 
     More than one visible device -> a ``(coalition, data)`` mesh over ALL of
-    them (``cfg.dist.mesh_coalition_shards`` sets the coalition-axis size;
-    0 = pure data-parallel, the DataParallel-analogue default). One device
-    (or ``cfg.dist.mesh = "off"``) -> the single-chip evaluator, bit-identical
+    them. ``cfg.dist.mesh_coalition_shards`` >= 1 forces that coalition-axis
+    size; 0 (the default) auto-selects it from the workload hints
+    (``typical_coalitions`` — the dominant per-call coalition count —
+    and ``eval_batch``; see ``parallel.autoshape``), falling back to pure
+    data-parallel when the driver passes no hints. One device (or
+    ``cfg.dist.mesh = "off"``) -> the single-chip evaluator, bit-identical
     to the pre-mesh drivers."""
     devices = list(devices) if devices is not None else jax.devices()
     mode = getattr(dist_cfg, "mesh", "auto") if dist_cfg is not None else "auto"
@@ -379,7 +386,30 @@ def make_eval_backend(
     mesh = None
     if mode != "off" and len(devices) > 1:
         n_c = getattr(dist_cfg, "mesh_coalition_shards", 0) if dist_cfg else 0
-        n_c = n_c or 1
+        why = f"mesh_coalition_shards={n_c} (operator override)" if n_c else ""
+        if not n_c:
+            if typical_coalitions and eval_batch:
+                from shapley_vit_tpu.parallel.autoshape import (
+                    choose_coalition_shards,
+                )
+
+                hbm = 0
+                try:
+                    stats = devices[0].memory_stats()
+                    hbm = int((stats or {}).get("bytes_limit", 0))
+                except Exception:
+                    pass
+                choice = choose_coalition_shards(
+                    len(devices),
+                    typical_coalitions,
+                    eval_batch,
+                    coalition_bytes=coalition_bytes,
+                    hbm_bytes=hbm,
+                    model_bytes=model_bytes,
+                )
+                n_c, why = choice.n_coalition, choice.rationale
+            else:
+                n_c, why = 1, "pure data-parallel (no workload hints)"
         if len(devices) % n_c:
             raise ValueError(
                 f"mesh_coalition_shards={n_c} does not divide {len(devices)} devices"
@@ -388,7 +418,8 @@ def make_eval_backend(
         if log_fn is not None:
             log_fn(
                 f"coalition eval sharded over {len(devices)} devices "
-                f"(mesh {n_c}x{len(devices) // n_c} [{COALITION_AXIS},{DATA_AXIS}])"
+                f"(mesh {n_c}x{len(devices) // n_c} [{COALITION_AXIS},{DATA_AXIS}]): "
+                + why
             )
     return EvalBackend(
         forward_fn,

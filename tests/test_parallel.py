@@ -246,6 +246,70 @@ def test_eval_backend_gating_and_equivalence(setup):
         make_eval_backend(s["fwd"], dist_cfg=DistConfig(mesh_coalition_shards=3))
 
 
+def test_autoshape_chooser():
+    """choose_coalition_shards: minimal padded work first, then largest
+    per-device batch; memory filter discards oversized residency; knob
+    semantics documented in BENCH_NOTES round 4."""
+    from shapley_vit_tpu.parallel.autoshape import choose_coalition_shards
+
+    # C=7, D=8, B=128: pure DP is genuinely work-minimal (7*16=112 < 128)
+    assert choose_coalition_shards(8, 7, 128).n_coalition == 1
+    # C=8: every split does equal padded work -> largest per-device batch
+    c = choose_coalition_shards(8, 8, 128)
+    assert c.n_coalition == 8 and c.batch_per_device == 128
+    # C=12 (the default chunk): ties at k in {1,2,4} -> k=4 (3 x 64)
+    c = choose_coalition_shards(8, 12, 128)
+    assert (c.n_coalition, c.coalitions_per_device, c.batch_per_device) == (4, 3, 64)
+    # memory filter: 1GB budget, 300MB/coalition -> k=1 (12 resident) is
+    # infeasible; k=4 (3 resident, 900MB) is the work-minimal fit
+    c = choose_coalition_shards(
+        8, 12, 128, coalition_bytes=300_000_000, hbm_bytes=1_000_000_000
+    )
+    assert c.n_coalition == 4 and "within budget" in c.rationale
+    # nothing fits -> still returns a choice, with a warning rationale
+    c = choose_coalition_shards(
+        8, 12, 128, coalition_bytes=10**10, hbm_bytes=1_000_000_000
+    )
+    assert "WARNING" in c.rationale
+
+
+def test_eval_backend_auto_mesh_from_hints(setup):
+    """make_eval_backend auto-selects the coalition split from workload
+    hints (mesh_coalition_shards=0), stays pure-DP without hints, honors an
+    operator override, and the chosen shape matches single-chip results."""
+    s = setup
+    ds = ArrayDataset(
+        images=np.asarray(
+            np.concatenate([b[0] for b in s["data"]]), dtype=np.float32
+        ),
+        labels=np.asarray(np.concatenate([b[1] for b in s["data"]])),
+    )
+    logs = []
+    # no hints -> pure data-parallel, as before
+    plain = make_eval_backend(s["fwd"], log_fn=logs.append)
+    assert plain.mesh is not None and plain.mesh.devices.shape == (1, 8)
+    # hints: C=8 powerset, batch 16 -> auto picks 8x1 (equal work, max batch)
+    auto = make_eval_backend(
+        s["fwd"], log_fn=logs.append, typical_coalitions=8, eval_batch=16
+    )
+    assert auto.mesh.devices.shape == (8, 1)
+    assert any("padded work" in m for m in logs)
+    # operator override wins over hints
+    forced = make_eval_backend(
+        s["fwd"],
+        dist_cfg=DistConfig(mesh_coalition_shards=2),
+        typical_coalitions=8,
+        eval_batch=16,
+    )
+    assert forced.mesh.devices.shape == (2, 4)
+    # the auto-chosen shape computes the same utilities as one chip
+    one = make_eval_backend(s["fwd"], devices=jax.devices()[:1])
+    d1, da = one.device_batches(ds, 16), auto.device_batches(ds, 16)
+    want = one.evaluate(s["base"], s["stacked_lora"], d1, dataset_size=len(ds))
+    got = auto.evaluate(s["base"], s["stacked_lora"], da, dataset_size=len(ds))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_multi_client_train_step_sharded(setup):
     s = setup
     spec = s["spec"]
