@@ -95,10 +95,20 @@ def save_lora_checkpoint(
 # loading
 # ---------------------------------------------------------------------------
 
-def _load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
-    """One file read -> (numpy state dict, metadata dict)."""
+def _load_raw(
+    path: str, data: Optional[bytes] = None
+) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """One file read -> (numpy state dict, metadata dict). ``data`` holds
+    the file's bytes when already read (the native preloader's bulk path);
+    the format is still dispatched on the path suffix."""
+    if data is not None:
+        import io
+
+        src = io.BytesIO(data)
+    else:
+        src = path
     if path.endswith(".npz"):
-        with np.load(path) as z:
+        with np.load(src) as z:
             sd, meta = {}, {}
             for k in z.files:
                 if k.startswith(_META_PREFIX):
@@ -108,7 +118,7 @@ def _load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
             return sd, meta
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
     meta: Dict[str, Any] = {}
     if isinstance(ckpt, dict):
         meta = {k: ckpt[k] for k in _META_KEYS if k in ckpt}
@@ -300,6 +310,13 @@ def ingest_clients(
     protocol) without dying mid-service."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"unknown on_error policy {on_error!r}")
+    # NOTE: the native thread-pool preloader (native.preload_files) was
+    # wired here and MEASURED SLOWER than serial reads at 5 and 32 clients,
+    # warm AND cold page cache (BENCH_NOTES round 4): ingest is dominated
+    # by npz/torch PARSING (serial either way), and this disk reads at
+    # GB/s with no seek penalty, so parallel IO buys nothing and the
+    # buffer+BytesIO copies cost ~35%. _load_raw(data=...) keeps the bulk
+    # entry point for storage where IO does dominate (true NFS).
     deltas: List[Optional[PyTree]] = []
     selection: List[bool] = []
     sizes: List[Optional[int]] = []
