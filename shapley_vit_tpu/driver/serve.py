@@ -152,6 +152,7 @@ def serve(
     records: List[Dict] = []
     epoch = start_epoch
     skipped = 0
+    traj_rendered = 0  # length of the SV history in the last sv_rounds.png
     current_overlay = init_lora
     while max_rounds is None or len(records) < max_rounds:
         # candidate paths per client: the configured filename plus its
@@ -371,36 +372,54 @@ def serve(
             )
         if rank0 and cfg.obs.render_plots and records:
             # cumulative per-client SV trajectory across the service's
-            # rounds (reference: the offline nice_plot* family); refreshed
-            # every round on the artifact worker
-            traj = [r["shapley"] for r in records] + [sv]
-            p = os.path.join(out_dir, "sv_rounds.png")
-            if cfg.obs.render_plots_async:
-                report_mod.submit_async_artifact(
-                    report_mod.plot_shapley_rounds, traj, p
-                )
-            else:
-                report_mod.plot_shapley_rounds(traj, p)
-            artifacts.append(p)
+            # rounds (reference: the offline nice_plot* family), rendered on
+            # the artifact worker. Refresh cadence DECIMATES as the service
+            # ages (every round for the first ~25, then every
+            # n/25-th): each render walks the whole history, so an
+            # every-round refresh is O(rounds) of worker time per round —
+            # the 50-round soak measured the backlogged worker's D2H
+            # exports contending the tunnel with the next round's
+            # ingest/persist digests (+1.3 ms/round creep). Decimation
+            # bounds the amortized render cost per round at ~25 line draws.
+            n_done = len(records) + 1
+            if n_done % max(1, n_done // 25) == 0:
+                traj = [r["shapley"] for r in records] + [sv]
+                p = os.path.join(out_dir, "sv_rounds.png")
+                traj_rendered = n_done
+                if cfg.obs.render_plots_async:
+                    report_mod.submit_async_artifact(
+                        report_mod.plot_shapley_rounds, traj, p
+                    )
+                else:
+                    report_mod.plot_shapley_rounds(traj, p)
+                artifacts.append(p)
         records.append(
             dict(epoch=epoch, shapley=sv, shapley_se=sv_se, selection=selection,
                  utility=prev_utility, artifacts=artifacts,
                  evals=game.num_evaluations, wall_s=time.time() - t_round,
-                 report_s=time.time() - t_report)
+                 report_s=time.time() - t_report,
+                 phases={k: v.get("total_s") for k, v in timer.summary().items()
+                         if v.get("total_s") is not None})
         )
         if tb is not None:
             tb.log_round(
                 epoch, sv, se=sv_se, utility=prev_utility,
                 wall_s=records[-1]["wall_s"], evals=game.num_evaluations,
-                phases={
-                    k: v.get("total_s") for k, v in timer.summary().items()
-                    if v.get("total_s") is not None
-                },
+                phases=records[-1]["phases"],
             )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1
     if tb is not None:
         tb.close()
+    if rank0 and cfg.obs.render_plots and len(records) > 1 \
+            and traj_rendered != len(records):
+        # the decimated refresh skipped the final round(s): leave the
+        # on-disk trajectory complete at shutdown
+        report_mod.submit_async_artifact(
+            report_mod.plot_shapley_rounds,
+            [r["shapley"] for r in records],
+            os.path.join(out_dir, "sv_rounds.png"),
+        )
     # every queued artifact exists before returning; failures were logged
     # per-job on the worker and must not discard a completed run's records
     failed = report_mod.flush_async_plots(raise_errors=False)

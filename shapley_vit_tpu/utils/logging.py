@@ -155,17 +155,23 @@ class TensorBoardWriter:
     tf import, utils/logger.py:34-85 — broken if called). SURVEY.md §5
     calls for a real summary writer; this is it: per-client SV (and ±σ)
     per utility dim, global utility, round wall time, eval counts, and the
-    per-phase spans, keyed by epoch. Lazy torch.utils.tensorboard import;
-    degrades to a no-op when tensorboard is unavailable.
+    per-phase spans, keyed by epoch.
+
+    Backed by the NATIVE event writer (``utils/tb_events.py``), not
+    ``torch.utils.tensorboard``: the torch path imports the TensorFlow
+    runtime (~1 GB RSS) whose presence leaked ~20 MB/round of native
+    memory alongside the TPU tunnel client in the round-4 serve() soak
+    (BENCH_NOTES round 4). Degrades to a no-op if the log dir is
+    unwritable — observability is optional, the service is not.
     """
 
     def __init__(self, log_dir: str):
         self._w = None
         try:
-            from torch.utils.tensorboard import SummaryWriter
+            from shapley_vit_tpu.utils.tb_events import ScalarEventWriter
 
-            self._w = SummaryWriter(log_dir=log_dir)
-        except Exception as e:  # missing tensorboard: observability is optional
+            self._w = ScalarEventWriter(log_dir)
+        except Exception as e:  # unwritable dir: observability is optional
             get_logger().info(f"tensorboard writer unavailable: {e}")
 
     @property

@@ -1,0 +1,259 @@
+"""Native TensorBoard scalar-event writer (no torch / tensorflow import).
+
+The obvious backend for ``--use-tensorboard`` — ``torch.utils.tensorboard``
+— drags the full TensorFlow runtime into the process (~1 GB RSS at import)
+and, measured in the round-4 serve() soak, its presence leaks ~20 MB/round
+of NATIVE memory in combination with the TPU tunnel client (bare soak
++8.4 MB/round, identical soak with the TB surface on +29 MB/round; the
+writer in isolation is flat — the leak is an import-side-effect interplay,
+not our event volume). A long-running service cannot carry that, so this
+module writes the event-file format directly:
+
+  * TFRecord framing: ``uint64le len | masked_crc32c(len) | data |
+    masked_crc32c(data)`` — the framing TensorBoard's loader requires;
+  * hand-encoded ``Event`` protobufs (wall_time=1 double, step=2 int64,
+    file_version=3 string, summary=5 message; ``Summary.Value`` tag=1
+    string, simple_value=2 float) — scalars are the only summary kind the
+    service emits (SURVEY.md §5: the reference's own TB flags are dead,
+    opts.py:70-72, so scalar parity is the whole contract).
+
+crc32c uses ``google_crc32c`` when present, else a table-driven fallback
+(the service writes ~40 events/round — bytes are tiny either way).
+``tests/test_tb_events.py`` round-trips files through an independent
+decoder, and the slow tier reads them back with TensorFlow's own
+``summary_iterator`` to pin compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import time
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# crc32c (Castagnoli), masked per the TFRecord spec
+# ---------------------------------------------------------------------------
+
+try:
+    import google_crc32c
+
+    def _crc32c(data: bytes) -> int:
+        return int(google_crc32c.value(data))
+
+except Exception:  # pragma: no cover - exercised via the fallback test hook
+    _CRC_TABLE = []
+
+    def _build_table():
+        poly = 0x82F63B78  # Castagnoli, reflected
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            _CRC_TABLE.append(c)
+
+    _build_table()
+
+    def _crc32c(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    c = _crc32c(data)
+    return ((c >> 15) | (c << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire encoding (only what Event/Summary need)
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field_double(num: int, v: float) -> bytes:
+    return _varint(num << 3 | 1) + struct.pack("<d", v)
+
+
+def _field_float(num: int, v: float) -> bytes:
+    return _varint(num << 3 | 5) + struct.pack("<f", v)
+
+
+def _field_varint(num: int, v: int) -> bytes:
+    return _varint(num << 3) + _varint(v)
+
+
+def _field_bytes(num: int, b: bytes) -> bytes:
+    return _varint(num << 3 | 2) + _varint(len(b)) + b
+
+
+def encode_scalar_event(tag: str, value: float, step: int,
+                        wall_time: Optional[float] = None) -> bytes:
+    sv = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
+    summary = _field_bytes(1, sv)
+    return (
+        _field_double(1, time.time() if wall_time is None else wall_time)
+        + _field_varint(2, int(step))
+        + _field_bytes(5, summary)
+    )
+
+
+def encode_version_event(wall_time: Optional[float] = None) -> bytes:
+    return (
+        _field_double(1, time.time() if wall_time is None else wall_time)
+        + _field_bytes(3, b"brain.Event:2")
+    )
+
+
+def frame_record(data: bytes) -> bytes:
+    """TFRecord framing around one serialized event."""
+    header = struct.pack("<Q", len(data))
+    return (
+        header
+        + struct.pack("<I", masked_crc32c(header))
+        + data
+        + struct.pack("<I", masked_crc32c(data))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the writer
+# ---------------------------------------------------------------------------
+
+class ScalarEventWriter:
+    """Append-only scalar writer producing TensorBoard-readable event files.
+
+    One file per writer (``events.out.tfevents.<ts>.<host>``), opened
+    lazily, fronted by a lock so the serve loop and the artifact worker can
+    both log. ``flush()`` pushes to the OS; nothing is buffered in memory
+    beyond the open file handle — the round-4 soak requirement is that the
+    writer's footprint is O(1) in rounds.
+    """
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(
+            log_dir,
+            f"events.out.tfevents.{time.time():.6f}.{socket.gethostname()}",
+        )
+        self._lock = threading.Lock()
+        self._f = open(self._path, "ab")
+        self._f.write(frame_record(encode_version_event()))
+        self._f.flush()
+
+    @property
+    def path(self) -> str:
+        return self._path
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        rec = frame_record(encode_scalar_event(tag, float(value), step))
+        with self._lock:
+            if self._f is not None:
+                self._f.write(rec)
+
+    def flush(self) -> None:
+        with self._lock:
+            if self._f is not None:
+                self._f.flush()
+
+    def close(self) -> None:
+        with self._lock:
+            if self._f is not None:
+                self._f.flush()
+                self._f.close()
+                self._f = None
+
+
+# ---------------------------------------------------------------------------
+# independent decoding (tests; also handy for offline analysis without TB)
+# ---------------------------------------------------------------------------
+
+def read_scalar_events(path: str, check_crc: bool = True):
+    """Parse an event file back into (tag, value, step) tuples.
+
+    An independent decoder (generic wire-format walk, not the encoder run
+    backwards) so the unit test actually checks the format; the slow tier
+    additionally reads files with TensorFlow's ``summary_iterator``.
+    """
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        (n,) = struct.unpack_from("<Q", data, off)
+        if check_crc:
+            (hc,) = struct.unpack_from("<I", data, off + 8)
+            assert hc == masked_crc32c(data[off:off + 8]), "length crc"
+        body = data[off + 12:off + 12 + n]
+        if check_crc:
+            (dc,) = struct.unpack_from("<I", data, off + 12 + n)
+            assert dc == masked_crc32c(body), "data crc"
+        off += 12 + n + 4
+        ev = _decode_fields(body)
+        step = ev.get((2, 0), 0)
+        for summary in _as_list(ev.get((5, 2))):
+            for value in _as_list(_decode_fields(summary).get((1, 2))):
+                vf = _decode_fields(value)
+                tag = vf.get((1, 2), b"").decode()
+                raw = vf.get((2, 5))
+                if raw is not None:
+                    out.append((tag, struct.unpack("<f", raw)[0], step))
+    return out
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _decode_fields(buf: bytes):
+    """Generic wire-format decode -> {(field_num, wire_type): value-or-list}."""
+    fields = {}
+    off = 0
+    while off < len(buf):
+        key, off = _read_varint(buf, off)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            v, off = _read_varint(buf, off)
+        elif wt == 1:
+            v, off = buf[off:off + 8], off + 8
+        elif wt == 5:
+            v, off = buf[off:off + 4], off + 4
+        elif wt == 2:
+            n, off = _read_varint(buf, off)
+            v, off = buf[off:off + n], off + n
+        else:  # pragma: no cover - groups unused by the Event proto
+            raise ValueError(f"wire type {wt}")
+        k = (num, wt)
+        if k in fields:
+            if not isinstance(fields[k], list):
+                fields[k] = [fields[k]]
+            fields[k].append(v)
+        else:
+            fields[k] = v
+    return fields
+
+
+def _read_varint(buf: bytes, off: int):
+    v = s = 0
+    while True:
+        b = buf[off]
+        off += 1
+        v |= (b & 0x7F) << s
+        if not b & 0x80:
+            return v, off
+        s += 7

@@ -71,12 +71,19 @@ def main():
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--no-tb", action="store_true")
     ap.add_argument("--no-persist", action="store_true")
+    ap.add_argument("--import-tb-only", action="store_true",
+                    help="import the TB writer's backing library without "
+                         "using it: attributes leak to the import's process-"
+                         "wide side effects vs our per-round writes")
     args = ap.parse_args()
 
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    if args.import_tb_only:
+        import torch.utils.tensorboard  # noqa: F401
 
     from shapley_vit_tpu.config import Config
     from shapley_vit_tpu.data.arrays import ArrayDataset
@@ -185,7 +192,13 @@ def main():
 
     w0, w1, wslope = trend(walls[1:])  # round 0 pays the compiles
     r0, r1, rslope = trend(per_round_rss)
+    phase_trend = {}
+    for ph in sorted({k for r in records for k in r.get("phases", {})}):
+        xs = [r["phases"][ph] for r in records if ph in r.get("phases", {})]
+        if len(xs) > 10:
+            phase_trend[ph] = trend(xs[1:])
     print(json.dumps({
+        "phase_s_first5_last5_slope": phase_trend,
         "rounds": len(records),
         "total_wall_s": round(total, 1),
         "wall_s_first5_last5_slope": [w0, w1, wslope],
