@@ -69,6 +69,16 @@ def submit_async_artifact(fn, *args, **kwargs):
 _plot_async = submit_async_artifact
 
 
+def pending_artifact_jobs() -> int:
+    """Unfinished jobs on the artifact worker right now — the service
+    exports this as a TB scalar so a backlogged worker (the round-4 soak's
+    wall-creep mechanism: growing render jobs contending the tunnel with
+    the next round's host digests) is visible in production, not just in
+    offline soak runs."""
+    with _PLOT_LOCK:
+        return sum(1 for f in _PLOT_PENDING if not f.done())
+
+
 def flush_async_plots(
     timeout: Optional[float] = None, raise_errors: bool = True
 ) -> int:

@@ -402,10 +402,17 @@ def serve(
                          if v.get("total_s") is not None})
         )
         if tb is not None:
+            from shapley_vit_tpu.utils.profiling import process_rss_mb
+
             tb.log_round(
                 epoch, sv, se=sv_se, utility=prev_utility,
                 wall_s=records[-1]["wall_s"], evals=game.num_evaluations,
                 phases=records[-1]["phases"],
+                health={
+                    "rss_mb": process_rss_mb(),
+                    "artifact_backlog": report_mod.pending_artifact_jobs(),
+                    "skipped_rounds": skipped,
+                },
             )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1

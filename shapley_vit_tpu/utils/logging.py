@@ -179,7 +179,8 @@ class TensorBoardWriter:
         return self._w is not None
 
     def log_round(self, step, shapley_value, se=None, utility=None,
-                  wall_s=None, evals=None, phases=None) -> None:
+                  wall_s=None, evals=None, phases=None,
+                  health=None) -> None:
         if self._w is None:
             return
         for dim, sv in enumerate(shapley_value):
@@ -200,6 +201,8 @@ class TensorBoardWriter:
             self._w.add_scalar("round/coalition_evals", evals, step)
         for span, total in (phases or {}).items():
             self._w.add_scalar(f"round/phase_s/{span}", total, step)
+        for name, v in (health or {}).items():
+            self._w.add_scalar(f"health/{name}", v, step)
         self._w.flush()
 
     def close(self) -> None:

@@ -35,6 +35,21 @@ def trace(log_dir: Optional[str], enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def process_rss_mb() -> float:
+    """Resident set size of this process in MB (0.0 where /proc is absent).
+    The service exports it per round (``health/rss_mb``): the round-4 soak
+    caught a ~20 MB/round native leak only because RSS was being sampled —
+    production gets the same signal for free."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 class StepTimer:
     """Named wall-clock spans with running stats.
 

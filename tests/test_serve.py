@@ -367,6 +367,11 @@ def test_serve_tensorboard_round_scalars(cfg):
     assert "round/wall_s" in tags
     assert any(t.startswith("shapley/accuracy/client_") for t in tags)
     assert any(t.startswith("round/phase_s/") for t in tags)
+    # service-health scalars: leak/backlog visibility in production (the
+    # round-4 soak's RSS sampling, exported as first-class scalars)
+    assert "health/rss_mb" in tags
+    assert "health/artifact_backlog" in tags
+    assert acc.Scalars("health/rss_mb")[0].value > 0
 
 
 def test_build_eval_backend_slices_materialization(cfg):

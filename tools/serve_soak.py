@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--no-tb", action="store_true")
     ap.add_argument("--no-persist", action="store_true")
+    ap.add_argument("--gc-per-round", action="store_true",
+                    help="run gc.collect() after every round (attribution: "
+                         "does cyclic garbage carry the RSS growth?)")
     ap.add_argument("--import-tb-only", action="store_true",
                     help="import the TB writer's backing library without "
                          "using it: attributes leak to the import's process-"
@@ -154,12 +157,36 @@ def main():
                 lora, spec, num_local_data_train=1000 + 100 * cid,
             )
 
+    if args.gc_per_round:
+        # serve() calls wait_for_checkpoints once per round — hook a full
+        # collection there (between rounds, nothing in flight)
+        import gc
+
+        _orig_wait = ingestion.wait_for_checkpoints
+
+        def _wait_with_gc(*a, **k):
+            gc.collect()
+            return _orig_wait(*a, **k)
+
+        ingestion.wait_for_checkpoints = _wait_with_gc
+
     samples: list = []
     stop = threading.Event()
 
     def sampler():
         while not stop.is_set():
-            samples.append((time.time(), rss_mb()))
+            # live jax arrays + open fds alongside RSS: splits "we retain
+            # device buffers / leak fds" from "native growth outside our
+            # object graph" without a second run
+            try:
+                n_arr = len(jax.live_arrays())
+            except Exception:
+                n_arr = -1
+            try:
+                n_fd = len(os.listdir("/proc/self/fd"))
+            except OSError:
+                n_fd = -1
+            samples.append((time.time(), rss_mb(), n_arr, n_fd))
             stop.wait(0.5)
 
     th = threading.Thread(target=sampler, daemon=True)
@@ -179,16 +206,17 @@ def main():
 
     assert len(records) == args.rounds, (len(records), args.rounds)
     walls = [r["wall_s"] for r in records]
-    rss = [m for _, m in samples]
+    rss = [m for _, m, *_ in samples]
     # per-round RSS: the sample nearest each round's end
     ends, acc = [], t0
     for w in walls:
         acc += w
         ends.append(acc)
-    times = np.asarray([t for t, _ in samples])
-    per_round_rss = [
-        float(rss[int(np.argmin(np.abs(times - e)))]) for e in ends
-    ] if samples else []
+    times = np.asarray([t for t, *_ in samples])
+    nearest = [int(np.argmin(np.abs(times - e))) for e in ends] if samples else []
+    per_round_rss = [float(rss[i]) for i in nearest]
+    per_round_arrays = [int(samples[i][2]) for i in nearest]
+    per_round_fds = [int(samples[i][3]) for i in nearest]
 
     w0, w1, wslope = trend(walls[1:])  # round 0 pays the compiles
     r0, r1, rslope = trend(per_round_rss)
@@ -206,6 +234,8 @@ def main():
         "rss_mb_peak": round(max(rss), 1) if rss else None,
         "wall_s_all": [round(w, 2) for w in walls],
         "rss_mb_per_round": [round(m, 1) for m in per_round_rss],
+        "live_arrays_first5_last5_slope": trend(per_round_arrays),
+        "open_fds_first5_last5_slope": trend(per_round_fds),
         "variant": args.variant,
         "bare": args.bare,
         "plots": cfg.obs.render_plots,
