@@ -13,9 +13,10 @@ game2.py:113-114).
 
 from __future__ import annotations
 
+import json
 import os
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Union
 
 import numpy as np
 
@@ -27,20 +28,56 @@ from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.shapley import Game, run_configured_comp_contrib
 from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import TensorBoardWriter, get_logger
-from shapley_vit_tpu.utils.profiling import StepTimer
+from shapley_vit_tpu.utils.profiling import StepTimer, process_rss_mb
+
+#: ``svt-serve`` exit code when the service stopped because RSS crossed
+#: ``max_rss_mb``. The supervisor (driver/supervisor.py) restarts on exactly
+#: this code; anything else is a clean stop (0) or a crash.
+RECYCLE_EXIT_CODE = 3
+
+STATE_FILENAME = "service_state.json"
+
+
+class RoundRecords(list):
+    """``serve()``'s return value: a plain list of round records plus the
+    reason the loop ended. Callers that treat it as a list are unaffected;
+    the CLI and the supervisor read ``stop_reason`` to pick an exit code."""
+
+    stop_reason: str = "max_rounds"
+
+
+def _write_service_state(out_dir: str, state: Dict) -> None:
+    """Atomically persist the service's restart cursor (same tmp+rename
+    protocol as every other artifact — readers never see a partial file)."""
+    path = os.path.join(out_dir, STATE_FILENAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def read_service_state(out_dir: str) -> Optional[Dict]:
+    """The last persisted service state, or None (no file / unreadable —
+    an interrupted very first round restarts from the configured epoch)."""
+    try:
+        with open(os.path.join(out_dir, STATE_FILENAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def serve(
     cfg: Optional[Config] = None,
     max_rounds: Optional[int] = None,
     epoch_filename: str = "ViT_epoch_{epoch}.pth.tar",
-    start_epoch: int = 0,
+    start_epoch: Union[int, str] = 0,
     timeout: Optional[float] = None,
     policy: str = "wait",
     valid=None,
     max_skipped_rounds: Optional[int] = 10,
     prewarm: bool = True,
-) -> List[Dict]:
+    max_rss_mb: Optional[float] = None,
+) -> "RoundRecords":
     """Run Shapley rounds as checkpoint sets arrive; returns round records.
 
     ``max_rounds=None`` serves forever (the reference's blocking contract);
@@ -63,6 +100,20 @@ def serve(
     over the global mesh; rank 0 alone writes artifacts (utility table,
     reports, TensorBoard, global export). With persistence enabled the
     output dir must be shared across ranks.
+
+    ``max_rss_mb`` is the built-in form of OPERATIONS.md's recycle-at-a-
+    ceiling guidance: on the axon tunnel stack the client retains ~the full
+    H2D payload of every ingest (BENCH_NOTES round 4), so a long-lived
+    process grows without bound through no fault of the loop. When the
+    post-round RSS (the max across ranks in a multi-host run — the decision
+    must be collective-aligned) crosses the ceiling, the service finishes
+    the round, flushes artifacts, persists its restart cursor
+    (``service_state.json``), and returns with ``stop_reason="rss_ceiling"``
+    — the CLI maps that to exit code ``RECYCLE_EXIT_CODE`` so a supervisor
+    (``svt-supervise``) restarts a fresh process, which costs one prewarm
+    (persistent compile cache) and resumes mid-round work from the
+    fingerprinted utility table. ``start_epoch="auto"`` resumes from the
+    persisted cursor (missing file → epoch 0).
     """
     import importlib
 
@@ -73,6 +124,14 @@ def serve(
     logger = get_logger()
     out_dir = cfg.ensure_output_dir()
     n = cfg.shapley.num_clients
+    if start_epoch == "auto":
+        state = read_service_state(out_dir)
+        start_epoch = int(state["next_epoch"]) if state else 0
+        if state:
+            logger.info(
+                f"resuming service at epoch {start_epoch} "
+                f"(cursor: {STATE_FILENAME})"
+            )
 
     spec, base, init_lora = start_mod.build_model(cfg)
     if valid is None:
@@ -149,7 +208,7 @@ def serve(
         if cfg.obs.use_tensorboard and rank0
         else None
     )
-    records: List[Dict] = []
+    records = RoundRecords()
     epoch = start_epoch
     skipped = 0
     traj_rendered = 0  # length of the SV history in the last sv_rounds.png
@@ -168,9 +227,11 @@ def serve(
             )
         except TimeoutError as e:
             logger.info(f"stopping service: {e}")
+            records.stop_reason = "timeout"
             break
         if not any(watch.arrived):
             logger.info("no checkpoints arrived; stopping")
+            records.stop_reason = "no_checkpoints"
             break
 
         # full-round wall clock from here (post-wait): ingestion through
@@ -210,9 +271,17 @@ def serve(
                 logger.info(
                     f"{skipped} consecutive unreadable epochs; stopping service"
                 )
+                records.stop_reason = "corrupt_epochs"
                 break
             logger.info(f"no readable checkpoints for epoch {epoch}; skipping round")
             epoch += 1
+            if rank0:
+                # a skipped epoch is consumed: a recycled/restarted process
+                # must not re-wait on it
+                _write_service_state(out_dir, dict(
+                    next_epoch=epoch, last_epoch=epoch - 1, skipped=True,
+                    rounds=len(records), rss_mb=process_rss_mb(),
+                ))
             continue
         skipped = 0
         # per-client data sizes from checkpoint metadata drive the FedAvg
@@ -401,21 +470,47 @@ def serve(
                  phases={k: v.get("total_s") for k, v in timer.summary().items()
                          if v.get("total_s") is not None})
         )
+        rss_mb = process_rss_mb()
         if tb is not None:
-            from shapley_vit_tpu.utils.profiling import process_rss_mb
-
             tb.log_round(
                 epoch, sv, se=sv_se, utility=prev_utility,
                 wall_s=records[-1]["wall_s"], evals=game.num_evaluations,
                 phases=records[-1]["phases"],
                 health={
-                    "rss_mb": process_rss_mb(),
+                    "rss_mb": rss_mb,
                     "artifact_backlog": report_mod.pending_artifact_jobs(),
                     "skipped_rounds": skipped,
                 },
             )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
         epoch += 1
+        if rank0:
+            # restart cursor: a recycled/crashed process resumes at
+            # next_epoch via start_epoch="auto" (svt-serve's default)
+            _write_service_state(out_dir, dict(
+                next_epoch=epoch, last_epoch=epoch - 1,
+                rounds=len(records), rss_mb=rss_mb,
+            ))
+        if max_rss_mb is not None:
+            peak = rss_mb
+            if jax.process_count() > 1:
+                # the recycle decision must be identical on every rank
+                # (collective alignment — see the multi-host note above), so
+                # gate on the FLEET-max RSS; this allgather runs every round
+                # whenever a ceiling is configured, on all ranks
+                from jax.experimental import multihost_utils
+
+                peak = float(np.max(
+                    multihost_utils.process_allgather(np.float32(rss_mb))
+                ))
+            if peak >= max_rss_mb:
+                logger.info(
+                    f"RSS {peak:.0f} MB >= ceiling {max_rss_mb:.0f} MB after "
+                    f"epoch {epoch - 1}: stopping for recycle (resume cursor "
+                    f"persisted; restart costs one prewarm)"
+                )
+                records.stop_reason = "rss_ceiling"
+                break
     if tb is not None:
         tb.close()
     if rank0 and cfg.obs.render_plots and len(records) > 1 \
@@ -432,14 +527,42 @@ def serve(
     failed = report_mod.flush_async_plots(raise_errors=False)
     if failed:
         logger.error(f"{failed} async artifact job(s) failed during this run")
+    if rank0 and records:
+        # stamp the exit reason onto the cursor without clobbering it (on a
+        # pre-round stop — timeout / nothing arrived — next_epoch must keep
+        # pointing at the epoch that never processed)
+        state = read_service_state(out_dir) or dict(
+            next_epoch=epoch, last_epoch=epoch - 1, rounds=len(records)
+        )
+        state["stop_reason"] = records.stop_reason
+        _write_service_state(out_dir, state)
     return records
 
 
 def main(argv=None):
     """Console entry (``svt-serve``): continuous service with the reference
-    CLI flags + .env path contract."""
+    CLI flags + .env path contract.
+
+    Service knobs ride env vars so the reference flag surface stays a
+    strict superset of opts.py: ``SVT_MAX_RSS_MB`` (recycle ceiling — exit
+    code ``RECYCLE_EXIT_CODE`` when hit, for ``svt-supervise``/systemd) and
+    ``SVT_START_EPOCH`` (integer, or the default ``auto`` = resume from the
+    persisted cursor)."""
     import sys
 
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
     cfg.paths = Config.from_env().paths
-    return serve(cfg)
+    ceiling = os.environ.get("SVT_MAX_RSS_MB")
+    se = os.environ.get("SVT_START_EPOCH", "auto")
+    records = serve(
+        cfg,
+        max_rss_mb=float(ceiling) if ceiling else None,
+        start_epoch="auto" if se == "auto" else int(se),
+    )
+    return RECYCLE_EXIT_CODE if records.stop_reason == "rss_ceiling" else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

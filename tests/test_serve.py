@@ -93,6 +93,39 @@ def test_serve_stops_on_timeout(cfg):
     # epoch 1 never arrives; fail policy ends the service after round 0
     records = serve(cfg, max_rounds=5, timeout=0.5, policy="fail")
     assert len(records) == 1
+    assert records.stop_reason == "timeout"
+
+
+def test_serve_rss_ceiling_recycles_and_resumes(cfg):
+    """The built-in recycle protocol (OPERATIONS.md: long-running service
+    memory): a 1 MB ceiling trips after the FIRST completed round (any real
+    process is far above it), the loop stops with stop_reason='rss_ceiling'
+    and a persisted cursor, and start_epoch='auto' resumes the service at
+    the next unprocessed epoch."""
+    import importlib
+
+    from shapley_vit_tpu.driver.serve import read_service_state
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    write_epoch(cfg, spec, init_lora, epoch=1)
+
+    r1 = serve(cfg, max_rounds=5, timeout=5.0, policy="fail", max_rss_mb=1.0)
+    assert len(r1) == 1 and r1[0]["epoch"] == 0
+    assert r1.stop_reason == "rss_ceiling"
+    state = read_service_state(cfg.output_dir)
+    assert state["next_epoch"] == 1
+    assert state["stop_reason"] == "rss_ceiling"
+    assert state["rss_mb"] > 1.0
+
+    # the recycled process picks up exactly where the cursor points
+    r2 = serve(cfg, max_rounds=1, timeout=5.0, policy="fail", start_epoch="auto")
+    assert len(r2) == 1 and r2[0]["epoch"] == 1
+    assert r2.stop_reason == "max_rounds"
+    state = read_service_state(cfg.output_dir)
+    assert state["next_epoch"] == 2
+    assert state["stop_reason"] == "max_rounds"
 
 
 def test_serve_resumes_mid_round_from_utility_table(cfg):

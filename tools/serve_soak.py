@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--no-tb", action="store_true")
     ap.add_argument("--no-persist", action="store_true")
+    ap.add_argument("--samples-per-client", type=int, default=None,
+                    help="override cfg.shapley.samples_per_client (m = s*n): "
+                         "lets a large-n soak measure the SERVING tax "
+                         "without re-measuring config 8's eval wall")
     ap.add_argument("--gc-per-round", action="store_true",
                     help="run gc.collect() after every round (attribution: "
                          "does cyclic garbage carry the RSS growth?)")
@@ -118,6 +122,8 @@ def main():
     cfg.paths.global_model_path = os.path.join(tmp, "global")
     cfg.shapley.num_clients = args.clients
     cfg.shapley.persist_utility_table = not (args.bare or args.no_persist)
+    if args.samples_per_client is not None:
+        cfg.shapley.samples_per_client = args.samples_per_client
 
     spec = jvit.make_spec(
         args.variant, num_classes=4,
