@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 from typing import Callable, Dict, List, Optional, Union
 
@@ -36,6 +38,65 @@ from shapley_vit_tpu.utils.profiling import StepTimer, process_rss_mb
 RECYCLE_EXIT_CODE = 3
 
 STATE_FILENAME = "service_state.json"
+
+#: Touching ``<out_dir>/DRAIN`` asks a running service to stop after its
+#: in-flight round (manual operator control; SIGTERM writes it too so every
+#: rank of a multi-host fleet sees the request through the shared dir).
+DRAIN_FILENAME = "DRAIN"
+
+_DRAIN = threading.Event()
+_SIGNALS_INSTALLED = False
+
+
+def request_drain() -> None:
+    """Ask the in-process service to stop gracefully: finish the round in
+    flight (or the idle wait), persist the cursor, and return with
+    ``stop_reason="drain"``. Thread-safe; what the SIGTERM handler calls."""
+    _DRAIN.set()
+
+
+def _install_drain_handlers(drain_path: str, logger) -> List:
+    """SIGTERM/SIGINT → graceful drain (k8s pod eviction / systemd stop /
+    Ctrl-C). The FIRST signal requests the drain and writes the shared
+    ``DRAIN`` file (multi-host transport + unblocks other ranks' idle
+    waits); the handler then restores the default disposition so a SECOND
+    signal force-kills a wedged process. Returns (signum, old_handler)
+    pairs for the caller to restore; empty when not on the main thread
+    (signal.signal is main-thread-only — in-process test harnesses and
+    notebook threads just skip OS-signal wiring and use request_drain()).
+
+    Installing CONSUMES any stale drain state (event + file) so a request
+    left over from a previous run cannot instantly stop this one; a signal
+    landing any time after this call is never lost (serve() skips its own
+    stale-state clearing once handlers are installed in-process)."""
+    global _SIGNALS_INSTALLED
+    _DRAIN.clear()
+    try:
+        os.remove(drain_path)
+    except OSError:
+        pass
+    restore = []
+
+    def _handler(signum, frame):
+        request_drain()
+        try:
+            with open(drain_path, "w") as f:
+                f.write(f"signal {signum} pid {os.getpid()}\n")
+        except OSError:
+            pass  # the in-process event alone still drains this rank
+        signal.signal(signum, signal.SIG_DFL)
+        logger.info(
+            f"signal {signum}: draining after the in-flight round "
+            f"(repeat the signal to force-kill)"
+        )
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            restore.append((sig, signal.signal(sig, _handler)))
+            _SIGNALS_INSTALLED = True
+        except ValueError:  # not the main thread
+            break
+    return restore
 
 
 class RoundRecords(list):
@@ -64,6 +125,22 @@ def read_service_state(out_dir: str) -> Optional[Dict]:
             return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def _any_across_ranks(flag: bool) -> bool:
+    """Cross-rank OR at a fixed point in the round sequence. Drain/recycle
+    decisions must be IDENTICAL on every rank (the sharded evaluator's next
+    psum would otherwise hang on the ranks that kept going), so local
+    observations — a signal that landed on one rank, a DRAIN file seen a
+    poll earlier on one host — are only ever acted on through this
+    collective."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    return bool(np.max(multihost_utils.process_allgather(np.float32(flag))) > 0)
 
 
 def serve(
@@ -114,6 +191,14 @@ def serve(
     (persistent compile cache) and resumes mid-round work from the
     fingerprinted utility table. ``start_epoch="auto"`` resumes from the
     persisted cursor (missing file → epoch 0).
+
+    Graceful drain: ``request_drain()`` (what the CLI's SIGTERM/SIGINT
+    handler calls) or touching ``<out_dir>/DRAIN`` stops the service at the
+    next round boundary — an in-flight round finishes and persists; an idle
+    checkpoint wait returns early (``should_stop``) without consuming the
+    epoch — with ``stop_reason="drain"`` (CLI exit 0: supervisors do NOT
+    restart). Multi-host ranks take the drain decision through a collective
+    OR at fixed sequence points, never from their local view alone.
     """
     import importlib
 
@@ -124,6 +209,30 @@ def serve(
     logger = get_logger()
     out_dir = cfg.ensure_output_dir()
     n = cfg.shapley.num_clients
+
+    import jax
+
+    # graceful drain (SIGTERM/SIGINT via the CLI, the DRAIN file, or
+    # request_drain()): a fresh service consumes any stale request first —
+    # unless the process entry already installed signal handlers (which
+    # consumed stale state itself; clearing again here would swallow a
+    # signal that landed during startup). Rank 0 deletes the shared DRAIN
+    # file BEFORE the first collective below, so no other rank can observe
+    # the stale file during this service's lifetime (they cannot pass that
+    # collective until rank 0 has moved on from here).
+    drain_path = os.path.join(out_dir, DRAIN_FILENAME)
+    if not _SIGNALS_INSTALLED:
+        _DRAIN.clear()
+        if jax.process_index() == 0:
+            try:
+                os.remove(drain_path)
+                logger.info(f"cleared stale {DRAIN_FILENAME} file")
+            except OSError:
+                pass
+
+    def drain_requested() -> bool:
+        # this rank's local view; decisions are taken via _any_across_ranks
+        return _DRAIN.is_set() or os.path.exists(drain_path)
     if start_epoch == "auto":
         state = read_service_state(out_dir)
         start_epoch = int(state["next_epoch"]) if state else 0
@@ -223,11 +332,23 @@ def serve(
         logger.info(f"round {len(records)}: waiting for epoch-{epoch} checkpoints")
         try:
             watch = ingestion.wait_for_checkpoints(
-                paths, timeout=timeout, policy=policy, log_fn=logger.info
+                paths, timeout=timeout, policy=policy, log_fn=logger.info,
+                should_stop=drain_requested,
             )
         except TimeoutError as e:
             logger.info(f"stopping service: {e}")
             records.stop_reason = "timeout"
+            break
+        # drain decision (collectively aligned — every rank evaluates this
+        # at the same sequence point every round): a drain requested during
+        # the idle wait stops BEFORE consuming the epoch; the cursor still
+        # points at it, so the next process serves it
+        if _any_across_ranks(drain_requested()):
+            logger.info(
+                f"drain requested; stopping before epoch {epoch} "
+                f"(cursor untouched — a restarted service resumes here)"
+            )
+            records.stop_reason = "drain"
             break
         if not any(watch.arrived):
             logger.info("no checkpoints arrived; stopping")
@@ -491,6 +612,13 @@ def serve(
                 next_epoch=epoch, last_epoch=epoch - 1,
                 rounds=len(records), rss_mb=rss_mb,
             ))
+        if _any_across_ranks(drain_requested()):
+            logger.info(
+                f"drain requested; stopping after epoch {epoch - 1} "
+                f"(cursor persisted at epoch {epoch})"
+            )
+            records.stop_reason = "drain"
+            break
         if max_rss_mb is not None:
             peak = rss_mb
             if jax.process_count() > 1:
@@ -527,10 +655,11 @@ def serve(
     failed = report_mod.flush_async_plots(raise_errors=False)
     if failed:
         logger.error(f"{failed} async artifact job(s) failed during this run")
-    if rank0 and records:
-        # stamp the exit reason onto the cursor without clobbering it (on a
-        # pre-round stop — timeout / nothing arrived — next_epoch must keep
-        # pointing at the epoch that never processed)
+    if rank0:
+        # stamp THIS run's exit reason onto the cursor without clobbering
+        # it (on a pre-round stop — timeout / nothing arrived / drain —
+        # next_epoch must keep pointing at the epoch that never processed;
+        # a zero-round run synthesizes the same cursor it started from)
         state = read_service_state(out_dir) or dict(
             next_epoch=epoch, last_epoch=epoch - 1, rounds=len(records)
         )
@@ -552,6 +681,12 @@ def main(argv=None):
 
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
     cfg.paths = Config.from_env().paths
+    # OS-signal wiring belongs to the PROCESS entry, not the library call:
+    # embedders of serve() keep their own signal dispositions and drain via
+    # request_drain() / the DRAIN file instead
+    _install_drain_handlers(
+        os.path.join(cfg.ensure_output_dir(), DRAIN_FILENAME), get_logger()
+    )
     ceiling = os.environ.get("SVT_MAX_RSS_MB")
     se = os.environ.get("SVT_START_EPOCH", "auto")
     records = serve(
@@ -559,6 +694,8 @@ def main(argv=None):
         max_rss_mb=float(ceiling) if ceiling else None,
         start_epoch="auto" if se == "auto" else int(se),
     )
+    # drain (SIGTERM/DRAIN file) is a CLEAN stop — exit 0 so supervisors
+    # (svt-supervise, systemd RestartForceExitStatus=3) do not restart
     return RECYCLE_EXIT_CODE if records.stop_reason == "rss_ceiling" else 0
 
 

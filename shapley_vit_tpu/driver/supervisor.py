@@ -18,7 +18,9 @@ service finished its round, flushed artifacts, and persisted its
 ``service_state.json`` cursor first — nothing is lost). The child
 resumes at the cursor (``SVT_START_EPOCH=auto``). Clean exits stop the
 supervisor; crashes optionally restart with ``--restart-on-crash``
-(bounded by ``--max-restarts`` either way).
+(bounded by ``--max-restarts`` either way). SIGTERM/SIGINT to the
+supervisor forward to the child — which drains gracefully (finishes its
+round, persists the cursor, exits 0) — and end the restart chain.
 
 The reference has no serving loop at all (its driver runs one round and
 exits, start.py:134-222); this subsystem is beyond-reference production
@@ -29,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -54,6 +57,13 @@ def supervise(
     ``restart_on_crash`` (the resumable utility table + cursor make a crash
     restart safe, but silent crash-looping is opt-in). ``max_restarts``
     bounds total restarts of either kind.
+
+    SIGTERM/SIGINT to the supervisor are FORWARDED to the live child (the
+    child drains: finishes its round, persists the cursor, exits 0) and end
+    the restart chain — whatever the child's exit code, nothing restarts
+    after a stop signal (k8s sends SIGTERM to the supervisor only; without
+    forwarding the child would run until SIGKILL). Handler wiring is
+    skipped off the main thread.
     """
     child_env = dict(os.environ if env is None else env)
     if max_rss_mb is not None:
@@ -61,10 +71,53 @@ def supervise(
     # the child owns the cursor: always resume from service_state.json
     child_env.setdefault("SVT_START_EPOCH", "auto")
 
+    current: List[Optional[subprocess.Popen]] = [None]
+    stop_sig: List[Optional[int]] = [None]
+
+    def _forward(signum, frame):
+        stop_sig[0] = signum
+        p = current[0]
+        if p is not None and p.poll() is None:
+            p.send_signal(signum)
+
+    restore = []
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            restore.append((sig, signal.signal(sig, _forward)))
+        except ValueError:  # not the main thread (in-process tests)
+            break
+
+    try:
+        return _supervise_loop(
+            child_cmd, child_env, current, stop_sig, max_restarts,
+            restart_on_crash, restart_delay_s, log_fn,
+        )
+    finally:
+        for sig, old in restore:
+            signal.signal(sig, old)
+
+
+def _supervise_loop(
+    child_cmd, child_env, current, stop_sig, max_restarts,
+    restart_on_crash, restart_delay_s, log_fn,
+) -> int:
     restarts = 0
     while True:
         t0 = time.time()
-        rc = subprocess.call(child_cmd, env=child_env)
+        proc = subprocess.Popen(child_cmd, env=child_env)
+        current[0] = proc
+        if stop_sig[0] is not None and proc.poll() is None:
+            # a stop signal landed in the launch window, before the child
+            # existed to receive the forward — deliver it now
+            proc.send_signal(stop_sig[0])
+        rc = proc.wait()
+        current[0] = None
+        if stop_sig[0] is not None:
+            log_fn(f"supervise: stop signal {stop_sig[0]} received; child "
+                   f"exited {rc}; not restarting")
+            # an orderly stop is clean even if the child was mid-recycle;
+            # anything else (crash / force-kill) propagates
+            return 0 if rc in (0, RECYCLE_EXIT_CODE) else rc
         if rc == 0:
             log_fn(f"supervise: child exited cleanly after {restarts} restart(s)")
             return 0

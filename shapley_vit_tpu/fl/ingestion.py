@@ -233,11 +233,18 @@ def wait_for_checkpoints(
     log_fn: Optional[Callable[[str], None]] = None,
     _sleep=time.sleep,
     use_native: bool = True,
+    should_stop: Optional[Callable[[], bool]] = None,
 ) -> WatchResult:
     """Wait until every path exists (atomic-rename protocol: existence ==
     completeness). ``policy`` on timeout: 'wait' ignores the timeout
     (reference start.py:212-219 blocks forever), 'skip' returns with the
     subset that arrived, 'fail' raises TimeoutError.
+
+    ``should_stop`` (when given) is polled about once per ``poll_interval``;
+    when it turns true the wait returns EARLY with whatever arrived — never
+    raising, even under ``policy='fail'`` (the caller asked to stop; it
+    distinguishes a drain from a straggler itself). This is how a service
+    draining on SIGTERM escapes an otherwise-indefinite idle wait.
 
     Each entry of ``paths`` may be ONE path or a sequence of CANDIDATE
     paths for that client (:func:`checkpoint_path_candidates` — mixed
@@ -259,12 +266,44 @@ def wait_for_checkpoints(
 
             if native.native_available():
                 eff_timeout = None if policy == "wait" else timeout
-                found, count = native.wait_for_file_groups(
-                    groups, timeout=eff_timeout
-                )
+                if should_stop is None:
+                    # one event-driven block for the whole wait
+                    found, count = native.wait_for_file_groups(
+                        groups, timeout=eff_timeout
+                    )
+                else:
+                    # slice the block so should_stop is polled ~once per
+                    # poll_interval; arrivals still return immediately
+                    # (inotify), only the STOP latency is the slice width
+                    deadline = (
+                        None if eff_timeout is None else start + eff_timeout
+                    )
+                    while True:
+                        if should_stop():
+                            found = [
+                                next((p for p in g if os.path.exists(p)), None)
+                                for g in groups
+                            ]
+                            return WatchResult(
+                                found,
+                                [f is not None for f in found],
+                                time.time() - start,
+                            )
+                        sl = poll_interval
+                        if deadline is not None:
+                            sl = min(sl, max(0.0, deadline - time.time()))
+                        found, count = native.wait_for_file_groups(
+                            groups, timeout=sl
+                        )
+                        if count == len(groups) or should_stop():
+                            break
+                        if deadline is not None and time.time() >= deadline:
+                            break
                 elapsed = time.time() - start
                 arrived = [f is not None for f in found]
                 if count == len(groups):
+                    return WatchResult(found, arrived, elapsed)
+                if should_stop is not None and should_stop():
                     return WatchResult(found, arrived, elapsed)
                 if policy == "fail":
                     missing = [g[0] for g, a in zip(groups, arrived) if not a]
@@ -276,6 +315,8 @@ def wait_for_checkpoints(
         found = [next((p for p in g if os.path.exists(p)), None) for g in groups]
         arrived = [f is not None for f in found]
         if all(arrived):
+            return WatchResult(found, arrived, time.time() - start)
+        if should_stop is not None and should_stop():
             return WatchResult(found, arrived, time.time() - start)
         elapsed = time.time() - start
         if timeout is not None and elapsed >= timeout and policy != "wait":

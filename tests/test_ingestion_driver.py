@@ -88,6 +88,36 @@ def test_wait_for_checkpoints_policies(tmp_path):
     assert all(r.arrived)
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+def test_wait_for_checkpoints_should_stop(tmp_path, use_native):
+    """A drain (should_stop) escapes an otherwise-indefinite wait EARLY with
+    the arrived subset and never raises — under both the sliced native
+    inotify backend and the pure-Python poll loop."""
+    p1, p2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    ingestion.atomic_save_npz(p1, {"x": np.zeros(1)})
+
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] >= 2
+
+    t0 = time.time()
+    r = ingestion.wait_for_checkpoints(
+        [p1, p2], timeout=30.0, policy="fail", poll_interval=0.05,
+        use_native=use_native, should_stop=stop,
+    )
+    assert r.arrived == [True, False] and r.paths == [p1, None]
+    assert time.time() - t0 < 10  # escaped long before the 30s timeout
+
+    # already-stopped: returns immediately, even under policy='wait'
+    r = ingestion.wait_for_checkpoints(
+        [p2], policy="wait", poll_interval=0.05,
+        use_native=use_native, should_stop=lambda: True,
+    )
+    assert r.arrived == [False]
+
+
 @pytest.mark.parametrize("fname", ["ViT_epoch_9.npz", "ViT_epoch_9.pth.tar"])
 def test_checkpoint_metadata_roundtrip(tmp_path, micro_spec, fname):
     """num_local_data_train metadata survives both checkpoint formats and is

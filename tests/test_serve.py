@@ -128,6 +128,83 @@ def test_serve_rss_ceiling_recycles_and_resumes(cfg):
     assert state["stop_reason"] == "max_rounds"
 
 
+def _drain_when_round0_done(cfg, action):
+    """Poll the service cursor until round 0 has persisted, then fire
+    ``action`` — the deterministic way to request a drain mid-service
+    regardless of whether the service is still reporting round 0 or already
+    idle-waiting for epoch 1 (both paths must converge on stop_reason
+    'drain' with the cursor at the unserved epoch)."""
+    import threading
+
+    from shapley_vit_tpu.driver import serve as serve_mod
+
+    def poke():
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = serve_mod.read_service_state(cfg.output_dir)
+            if st and st.get("next_epoch") == 1:
+                action()
+                return
+            time.sleep(0.05)
+
+    t = threading.Thread(target=poke)
+    t.start()
+    return t
+
+
+def test_serve_drains_on_request(cfg):
+    """request_drain() mid-service: the in-flight round finishes, the idle
+    wait for the never-arriving epoch 1 returns early (should_stop), and
+    the cursor still points at the unserved epoch."""
+    import importlib
+
+    from shapley_vit_tpu.driver import serve as serve_mod
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)  # epoch 1 never arrives
+
+    t = _drain_when_round0_done(cfg, serve_mod.request_drain)
+    t0 = time.time()
+    # policy='fail' + 120s timeout: if the drain were broken this would
+    # surface as stop_reason='timeout' after a long stall, not a hang
+    records = serve(cfg, max_rounds=5, timeout=120.0, policy="fail")
+    t.join()
+    assert len(records) == 1 and records[0]["epoch"] == 0
+    assert records.stop_reason == "drain"
+    assert time.time() - t0 < 90  # escaped the idle wait early
+    state = serve_mod.read_service_state(cfg.output_dir)
+    assert state["next_epoch"] == 1
+    assert state["stop_reason"] == "drain"
+
+
+def test_serve_drain_file_stale_vs_fresh(cfg):
+    """The DRAIN-file operator control: a STALE file left by a previous run
+    is consumed at startup (round 0 still serves), while a FRESH touch
+    mid-service drains at the round boundary."""
+    import importlib
+
+    from shapley_vit_tpu.driver import serve as serve_mod
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    drain_path = os.path.join(
+        cfg.ensure_output_dir(), serve_mod.DRAIN_FILENAME
+    )
+    open(drain_path, "w").close()  # stale: must NOT stop the fresh service
+
+    t = _drain_when_round0_done(
+        cfg, lambda: open(drain_path, "w").close()
+    )
+    records = serve(cfg, max_rounds=5, timeout=120.0, policy="fail")
+    t.join()
+    assert len(records) == 1 and records.stop_reason == "drain"
+    state = serve_mod.read_service_state(cfg.output_dir)
+    assert state["next_epoch"] == 1
+    assert os.path.exists(drain_path)  # the request outlives the service
+
+
 def test_serve_resumes_mid_round_from_utility_table(cfg):
     """A killed round's persisted utility table must be picked up on restart:
     with a complete pre-staged table, the round makes ZERO fresh coalition

@@ -96,6 +96,126 @@ def test_supervise_exports_service_env(tmp_path):
     assert out.read_text() == "123.5:auto"
 
 
+def test_supervise_forwards_stop_signal(tmp_path):
+    """SIGTERM to the supervisor forwards to the child and ends the restart
+    chain: the child traps it, exits 0, and the supervisor returns 0
+    without launching another child."""
+    import signal
+    import threading
+    import time
+
+    ready = tmp_path / "ready.txt"
+    got = tmp_path / "got.txt"
+    counter = tmp_path / "runs.txt"
+    counter.write_text("0")
+    script = tmp_path / "child.py"
+    script.write_text(
+        "import signal, sys, time\n"
+        f"open({str(counter)!r}, 'w').write(str(int(open({str(counter)!r}).read() or 0) + 1))\n"
+        "def bye(s, f):\n"
+        f"    open({str(got)!r}, 'w').write(str(s))\n"
+        "    sys.exit(0)\n"
+        "signal.signal(signal.SIGTERM, bye)\n"
+        f"open({str(ready)!r}, 'w').close()\n"  # handler installed: safe to signal
+        "time.sleep(30)\n"
+        "sys.exit(7)\n"  # no signal arrived — fail loudly via crash rc
+    )
+    counter.write_text("0")
+
+    def fire():
+        deadline = time.time() + 20
+        while time.time() < deadline and not ready.exists():
+            time.sleep(0.02)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=fire)
+    t.start()
+    logs = []
+    rc = supervise(
+        [sys.executable, str(script)], restart_on_crash=True,
+        restart_delay_s=0.0, log_fn=logs.append,
+    )
+    t.join()
+    assert rc == 0, logs
+    assert got.read_text() == str(int(signal.SIGTERM))
+    assert _runs(counter) == 1  # restart-on-crash must NOT fire after a stop
+
+
+@pytest.mark.slow
+def test_supervised_service_drains_end_to_end(tmp_path):
+    """The realistic eviction: the supervised service is idle-waiting for
+    the next epoch (policy='wait' blocks forever) when SIGTERM hits the
+    supervisor — the forwarded signal drains the child through
+    serve.main()'s handler: cursor persisted, exit 0, no restart."""
+    import importlib
+    import signal
+    import threading
+    import time
+
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.serve import read_service_state
+    from test_serve import write_epoch
+
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)  # epoch 1 never arrives
+
+    child = tmp_path / "serve_child.py"
+    child.write_text(
+        "import os, sys\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from shapley_vit_tpu.driver.serve import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    env = dict(
+        os.environ,
+        LOCAL_MODEL_PATH=str(tmp_path / "local"),
+        GLOBAL_MODEL_PATH=str(tmp_path / "global"),
+        VALIDATION_DATASET=str(tmp_path / "none"),
+        SVT_COMPILE_CACHE=str(tmp_path / "cache"),
+    )
+    out_dir = str(tmp_path / "exp" / "svc")
+
+    def fire_when_idle():
+        deadline = time.time() + 280
+        while time.time() < deadline:
+            st = read_service_state(out_dir)
+            if st and st.get("next_epoch") == 1:
+                break
+            time.sleep(0.2)
+        # fire even on deadline expiry: a drain bug must fail the asserts,
+        # not hang the suite on the child's indefinite policy='wait'
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=fire_when_idle)
+    t.start()
+    logs = []
+    rc = supervise(
+        [
+            sys.executable, str(child),
+            "--model-type", "ViT-micro",
+            "--exp-dir", str(tmp_path / "exp"), "--exp-id", "svc",
+        ],
+        env=env, restart_delay_s=0.0, log_fn=logs.append,
+    )
+    t.join()
+    assert rc == 0, logs
+    state = read_service_state(out_dir)
+    assert state["next_epoch"] == 1
+    assert state["stop_reason"] == "drain"
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "global"), "ViT_global_epoch_0.npz")
+    )
+    assert any("stop signal" in ln for ln in logs), logs
+
+
 @pytest.mark.slow
 def test_supervised_service_recycles_end_to_end(tmp_path):
     """The full contract through the real CLI: two epochs staged, a 1 MB
