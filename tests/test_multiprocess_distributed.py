@@ -194,7 +194,9 @@ pid = int(sys.argv[1])
 port = sys.argv[2]
 shared = sys.argv[3]
 world = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-straggler = len(sys.argv) > 5 and sys.argv[5] == "straggler"
+mode = sys.argv[5] if len(sys.argv) > 5 else ""
+straggler = mode == "straggler"
+drain = mode == "drain"
 
 from shapley_vit_tpu.config import Config, DistConfig
 from shapley_vit_tpu.parallel import distributed as dist
@@ -246,10 +248,34 @@ if pid == 0:
             lora_i, spec, num_local_data_train=100 * (i + 1),
         )
 
+from shapley_vit_tpu.driver import serve as serve_mod
 from shapley_vit_tpu.driver.serve import serve
 
 if straggler:
     records = serve(cfg, max_rounds=1, timeout=20.0, policy="skip")
+elif drain:
+    # rank 1 (NOT rank 0 — the decision must propagate rank1 -> everyone)
+    # requests the drain once round 0 has persisted; every rank's
+    # policy='wait' idle wait for the never-staged epoch 1 must break via
+    # the shared DRAIN file + the collective OR, or the mesh deadlocks
+    import threading
+    import time as _time
+
+    out_dir = cfg.output_dir
+
+    def poke():
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            st = serve_mod.read_service_state(out_dir)
+            if st and st.get("next_epoch") == 1:
+                open(os.path.join(out_dir, serve_mod.DRAIN_FILENAME), "w").close()
+                return
+            _time.sleep(0.2)
+
+    if pid == 1:
+        threading.Thread(target=poke).start()
+    records = serve(cfg, max_rounds=5, policy="wait")
+    assert records.stop_reason == "drain", records.stop_reason
 else:
     records = serve(cfg, max_rounds=1, timeout=120.0, policy="wait")
 assert len(records) == 1
@@ -269,7 +295,8 @@ print(f"proc {{pid}}: multi-process serve round OK", flush=True)
 '''
 
 
-def _run_serve_procs(tmp_path, world: int, straggler: bool = False):
+def _run_serve_procs(tmp_path, world: int, straggler: bool = False,
+                     mode: str = ""):
     """Launch ``world`` serve() ranks over a shared dir; return per-rank
     SVs after asserting every rank succeeded and all SVs agree to 1e-9."""
     import json
@@ -285,7 +312,9 @@ def _run_serve_procs(tmp_path, world: int, straggler: bool = False):
     env = {
         k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    argv_tail = [str(world)] + (["straggler"] if straggler else [])
+    if straggler:
+        mode = "straggler"
+    argv_tail = [str(world)] + ([mode] if mode else [])
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", child, str(i), port, shared] + argv_tail,
@@ -354,6 +383,19 @@ def test_four_process_serve_full_round(tmp_path):
     spans 4 hosts; all four ranks must produce identical SVs and only rank
     0 writes artifacts (asserted inside the child)."""
     _run_serve_procs(tmp_path, world=4)
+
+
+@pytest.mark.slow
+def test_two_process_serve_drain_round(tmp_path):
+    """Graceful drain across hosts: rank 1 (not rank 0) touches the shared
+    DRAIN file after round 0, while BOTH ranks sit in a policy='wait'
+    (indefinite) idle wait for an epoch that never comes. The file unblocks
+    every rank's wait and the per-round collective OR turns one rank's
+    local request into the fleet's decision — both ranks must stop with
+    stop_reason='drain' after exactly one round, with identical SVs
+    (asserted in the child + by _run_serve_procs). A drain that reached
+    only rank 1 would deadlock rank 0 forever."""
+    _run_serve_procs(tmp_path, world=2, mode="drain")
 
 
 @pytest.mark.slow
