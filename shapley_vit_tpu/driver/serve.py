@@ -32,17 +32,14 @@ from shapley_vit_tpu.utils import runtime
 from shapley_vit_tpu.utils.logging import TensorBoardWriter, get_logger
 from shapley_vit_tpu.utils.profiling import StepTimer, process_rss_mb
 
-#: ``svt-serve`` exit code when the service stopped because RSS crossed
-#: ``max_rss_mb``. The supervisor (driver/supervisor.py) restarts on exactly
-#: this code; anything else is a clean stop (0) or a crash.
-RECYCLE_EXIT_CODE = 3
-
-STATE_FILENAME = "service_state.json"
-
-#: Touching ``<out_dir>/DRAIN`` asks a running service to stop after its
-#: in-flight round (manual operator control; SIGTERM writes it too so every
-#: rank of a multi-host fleet sees the request through the shared dir).
-DRAIN_FILENAME = "DRAIN"
+# re-exported from the leaf protocol module (the supervisor imports from
+# there to stay jax-free; library users import from here)
+from shapley_vit_tpu.driver.protocol import (  # noqa: F401
+    DRAIN_FILENAME,
+    RECYCLE_EXIT_CODE,
+    STATE_FILENAME,
+    read_service_state,
+)
 
 _DRAIN = threading.Event()
 _SIGNALS_INSTALLED = False
@@ -117,30 +114,25 @@ def _write_service_state(out_dir: str, state: Dict) -> None:
     os.replace(tmp, path)
 
 
-def read_service_state(out_dir: str) -> Optional[Dict]:
-    """The last persisted service state, or None (no file / unreadable —
-    an interrupted very first round restarts from the configured epoch)."""
-    try:
-        with open(os.path.join(out_dir, STATE_FILENAME)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
-
-
-def _any_across_ranks(flag: bool) -> bool:
-    """Cross-rank OR at a fixed point in the round sequence. Drain/recycle
-    decisions must be IDENTICAL on every rank (the sharded evaluator's next
-    psum would otherwise hang on the ranks that kept going), so local
-    observations — a signal that landed on one rank, a DRAIN file seen a
-    poll earlier on one host — are only ever acted on through this
-    collective."""
+def _max_across_ranks(value: int) -> int:
+    """Cross-rank max at a fixed point in the round sequence. Stop
+    decisions (drain/timeout/no-checkpoints/recycle) must be IDENTICAL on
+    every rank (the sharded evaluator's next psum would otherwise hang on
+    the ranks that kept going), so local observations — a signal that
+    landed on one rank, a DRAIN file seen a poll earlier on one host, a
+    wait that raced past its deadline — are only ever acted on through
+    this collective."""
     import jax
 
     if jax.process_count() <= 1:
-        return bool(flag)
+        return int(value)
     from jax.experimental import multihost_utils
 
-    return bool(np.max(multihost_utils.process_allgather(np.float32(flag))) > 0)
+    return int(np.max(multihost_utils.process_allgather(np.int32(value))))
+
+
+def _any_across_ranks(flag: bool) -> bool:
+    return _max_across_ranks(1 if flag else 0) > 0
 
 
 def serve(
@@ -231,8 +223,13 @@ def serve(
                 pass
 
     def drain_requested() -> bool:
-        # this rank's local view; decisions are taken via _any_across_ranks
-        return _DRAIN.is_set() or os.path.exists(drain_path)
+        # this rank's local view; decisions are taken via _max_across_ranks.
+        # A sighted DRAIN file is LATCHED into the event so a later delete
+        # of the shared file (e.g. a restarting rank's handler install
+        # consuming it as stale) cannot cancel a request already observed
+        if not _DRAIN.is_set() and os.path.exists(drain_path):
+            _DRAIN.set()
+        return _DRAIN.is_set()
     if start_epoch == "auto":
         state = read_service_state(out_dir)
         start_epoch = int(state["next_epoch"]) if state else 0
@@ -258,8 +255,6 @@ def serve(
         backend.evaluate_single(base, init_lora, data, dataset_size=len(valid))
     )
     logger.info(f"service up: initial utility {prev_utility}")
-    import jax
-
     # multi-host service: every rank runs the identical compute sequence
     # (the sharded evaluator's psums are collectives — all ranks must make
     # the same calls), but artifacts (utility table, CSVs/PNGs, TensorBoard,
@@ -330,27 +325,47 @@ def serve(
             root, n, filename=epoch_filename.format(epoch=epoch)
         )
         logger.info(f"round {len(records)}: waiting for epoch-{epoch} checkpoints")
+        watch = None
         try:
             watch = ingestion.wait_for_checkpoints(
                 paths, timeout=timeout, policy=policy, log_fn=logger.info,
                 should_stop=drain_requested,
             )
         except TimeoutError as e:
-            logger.info(f"stopping service: {e}")
-            records.stop_reason = "timeout"
-            break
-        # drain decision (collectively aligned — every rank evaluates this
-        # at the same sequence point every round): a drain requested during
-        # the idle wait stops BEFORE consuming the epoch; the cursor still
-        # points at it, so the next process serves it
-        if _any_across_ranks(drain_requested()):
+            timeout_err = e
+        # ONE collectively-aligned stop decision per wait (every rank
+        # reaches this point every round — a wait ends by arrival, its own
+        # deadline, or the drain flag, all within a poll interval of each
+        # other): the max of the per-rank codes decides for the FLEET, so
+        # one rank raising TimeoutError while another saw files (or a drain
+        # visible on one host a poll earlier) can never split the ranks
+        # across a collective boundary. Drain dominates; any stop leaves
+        # the cursor pointing at the unconsumed epoch.
+        local = 0  # proceed
+        if watch is None:
+            local = 2  # this rank's wait timed out (policy='fail')
+        elif not any(watch.arrived):
+            local = 1  # nothing arrived (policy='skip' timeout)
+        if drain_requested():
+            local = 3
+        code = _max_across_ranks(local)
+        if code == 3:
             logger.info(
                 f"drain requested; stopping before epoch {epoch} "
                 f"(cursor untouched — a restarted service resumes here)"
             )
             records.stop_reason = "drain"
             break
-        if not any(watch.arrived):
+        if code == 2 or watch is None:
+            # watch can be None here only single-process (code IS 2 then);
+            # multi-host ranks that still got files discard them unconsumed
+            logger.info(
+                "stopping service: "
+                + str(timeout_err if watch is None else "a rank timed out")
+            )
+            records.stop_reason = "timeout"
+            break
+        if code == 1:
             logger.info("no checkpoints arrived; stopping")
             records.stop_reason = "no_checkpoints"
             break
@@ -665,6 +680,11 @@ def serve(
         )
         state["stop_reason"] = records.stop_reason
         _write_service_state(out_dir, state)
+    if records.stop_reason == "drain":
+        # the request was honored — a later serve() in this same process
+        # (embedder loops, sequential tests) starts fresh instead of
+        # instantly draining on the consumed event
+        _DRAIN.clear()
     return records
 
 

@@ -37,7 +37,9 @@ import sys
 import time
 from typing import Callable, List, Optional
 
-from shapley_vit_tpu.driver.serve import RECYCLE_EXIT_CODE
+# the LEAF protocol module, not driver.serve: the supervisor must stay
+# import-light (no jax / model stack) — it is pure Popen+wait
+from shapley_vit_tpu.driver.protocol import RECYCLE_EXIT_CODE
 
 
 def supervise(
@@ -73,12 +75,14 @@ def supervise(
 
     current: List[Optional[subprocess.Popen]] = [None]
     stop_sig: List[Optional[int]] = [None]
+    forwarded: List[bool] = [False]
 
     def _forward(signum, frame):
         stop_sig[0] = signum
         p = current[0]
         if p is not None and p.poll() is None:
             p.send_signal(signum)
+            forwarded[0] = True
 
     restore = []
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -89,7 +93,7 @@ def supervise(
 
     try:
         return _supervise_loop(
-            child_cmd, child_env, current, stop_sig, max_restarts,
+            child_cmd, child_env, current, stop_sig, forwarded, max_restarts,
             restart_on_crash, restart_delay_s, log_fn,
         )
     finally:
@@ -98,26 +102,35 @@ def supervise(
 
 
 def _supervise_loop(
-    child_cmd, child_env, current, stop_sig, max_restarts,
+    child_cmd, child_env, current, stop_sig, forwarded, max_restarts,
     restart_on_crash, restart_delay_s, log_fn,
 ) -> int:
     restarts = 0
     while True:
         t0 = time.time()
-        proc = subprocess.Popen(child_cmd, env=child_env)
+        # start_new_session: the child must receive stop signals ONLY via
+        # the forward — in a terminal, Ctrl-C otherwise reaches the whole
+        # foreground group, and the supervisor's forward would be a SECOND
+        # signal to a child whose drain handler has already re-armed
+        # SIG_DFL (= force-kill mid-drain)
+        proc = subprocess.Popen(child_cmd, env=child_env,
+                                start_new_session=True)
         current[0] = proc
-        if stop_sig[0] is not None and proc.poll() is None:
+        if stop_sig[0] is not None and not forwarded[0] and proc.poll() is None:
             # a stop signal landed in the launch window, before the child
-            # existed to receive the forward — deliver it now
+            # existed to receive the forward — deliver it exactly once
             proc.send_signal(stop_sig[0])
+            forwarded[0] = True
         rc = proc.wait()
         current[0] = None
         if stop_sig[0] is not None:
             log_fn(f"supervise: stop signal {stop_sig[0]} received; child "
                    f"exited {rc}; not restarting")
-            # an orderly stop is clean even if the child was mid-recycle;
-            # anything else (crash / force-kill) propagates
-            return 0 if rc in (0, RECYCLE_EXIT_CODE) else rc
+            # an orderly stop is clean even if the child was mid-recycle or
+            # was caught in its boot window before its drain handler existed
+            # (rc == -signal: killed by exactly the one signal we forwarded,
+            # with no round in flight to lose); real crashes propagate
+            return 0 if rc in (0, RECYCLE_EXIT_CODE, -stop_sig[0]) else rc
         if rc == 0:
             log_fn(f"supervise: child exited cleanly after {restarts} restart(s)")
             return 0

@@ -266,6 +266,7 @@ def wait_for_checkpoints(
 
             if native.native_available():
                 eff_timeout = None if policy == "wait" else timeout
+                stopped = False
                 if should_stop is None:
                     # one event-driven block for the whole wait
                     found, count = native.wait_for_file_groups(
@@ -278,6 +279,10 @@ def wait_for_checkpoints(
                     deadline = (
                         None if eff_timeout is None else start + eff_timeout
                     )
+                    # `stopped` LATCHES the observation: a should_stop that
+                    # later flips back (a DRAIN file deleted between polls)
+                    # must not fall through to the policy='fail' raise —
+                    # once seen, the wait ends as a stop, period
                     while True:
                         if should_stop():
                             found = [
@@ -295,7 +300,10 @@ def wait_for_checkpoints(
                         found, count = native.wait_for_file_groups(
                             groups, timeout=sl
                         )
-                        if count == len(groups) or should_stop():
+                        if count == len(groups):
+                            break
+                        if should_stop():
+                            stopped = True
                             break
                         if deadline is not None and time.time() >= deadline:
                             break
@@ -303,7 +311,7 @@ def wait_for_checkpoints(
                 arrived = [f is not None for f in found]
                 if count == len(groups):
                     return WatchResult(found, arrived, elapsed)
-                if should_stop is not None and should_stop():
+                if should_stop is not None and stopped:
                     return WatchResult(found, arrived, elapsed)
                 if policy == "fail":
                     missing = [g[0] for g, a in zip(groups, arrived) if not a]
