@@ -230,8 +230,25 @@ def serve(
         if not _DRAIN.is_set() and os.path.exists(drain_path):
             _DRAIN.set()
         return _DRAIN.is_set()
+
+    # service lineage across recycles/restarts: generation counts serve()
+    # incarnations on this cursor, total_rounds accumulates across them
+    # (the per-run `rounds` field resets with each process)
+    prior_state = read_service_state(out_dir)
+    generation = int(prior_state.get("generation", 0)) + 1 if prior_state else 1
+    prior_rounds = (
+        int(prior_state.get("total_rounds", prior_state.get("rounds", 0)))
+        if prior_state else 0
+    )
+
+    def _cursor(next_epoch: int, **extra) -> Dict:
+        return dict(
+            next_epoch=next_epoch, last_epoch=next_epoch - 1,
+            rounds=len(records), total_rounds=prior_rounds + len(records),
+            generation=generation, **extra,
+        )
     if start_epoch == "auto":
-        state = read_service_state(out_dir)
+        state = prior_state
         start_epoch = int(state["next_epoch"]) if state else 0
         if state:
             logger.info(
@@ -414,10 +431,10 @@ def serve(
             if rank0:
                 # a skipped epoch is consumed: a recycled/restarted process
                 # must not re-wait on it
-                _write_service_state(out_dir, dict(
-                    next_epoch=epoch, last_epoch=epoch - 1, skipped=True,
-                    rounds=len(records), rss_mb=process_rss_mb(),
-                ))
+                _write_service_state(
+                    out_dir,
+                    _cursor(epoch, skipped=True, rss_mb=process_rss_mb()),
+                )
             continue
         skipped = 0
         # per-client data sizes from checkpoint metadata drive the FedAvg
@@ -616,6 +633,9 @@ def serve(
                     "rss_mb": rss_mb,
                     "artifact_backlog": report_mod.pending_artifact_jobs(),
                     "skipped_rounds": skipped,
+                    # steps up by 1 at every recycle/restart — the TB view
+                    # of the service's process-lineage over a long run
+                    "generation": generation,
                 },
             )
         logger.info(f"round done: epoch {epoch}, new utility {prev_utility}")
@@ -623,10 +643,7 @@ def serve(
         if rank0:
             # restart cursor: a recycled/crashed process resumes at
             # next_epoch via start_epoch="auto" (svt-serve's default)
-            _write_service_state(out_dir, dict(
-                next_epoch=epoch, last_epoch=epoch - 1,
-                rounds=len(records), rss_mb=rss_mb,
-            ))
+            _write_service_state(out_dir, _cursor(epoch, rss_mb=rss_mb))
         if _any_across_ranks(drain_requested()):
             logger.info(
                 f"drain requested; stopping after epoch {epoch - 1} "
@@ -675,10 +692,13 @@ def serve(
         # it (on a pre-round stop — timeout / nothing arrived / drain —
         # next_epoch must keep pointing at the epoch that never processed;
         # a zero-round run synthesizes the same cursor it started from)
-        state = read_service_state(out_dir) or dict(
-            next_epoch=epoch, last_epoch=epoch - 1, rounds=len(records)
-        )
+        state = read_service_state(out_dir) or _cursor(epoch)
         state["stop_reason"] = records.stop_reason
+        # generation always reflects THIS incarnation, even when the rest
+        # of the cursor was inherited from a previous run untouched; a
+        # legacy (pre-lineage) cursor gets total_rounds backfilled
+        state["generation"] = generation
+        state.setdefault("total_rounds", prior_rounds + len(records))
         _write_service_state(out_dir, state)
     if records.stop_reason == "drain":
         # the request was honored — a later serve() in this same process

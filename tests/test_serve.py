@@ -118,6 +118,7 @@ def test_serve_rss_ceiling_recycles_and_resumes(cfg):
     assert state["next_epoch"] == 1
     assert state["stop_reason"] == "rss_ceiling"
     assert state["rss_mb"] > 1.0
+    assert state["generation"] == 1 and state["total_rounds"] == 1
 
     # the recycled process picks up exactly where the cursor points
     r2 = serve(cfg, max_rounds=1, timeout=5.0, policy="fail", start_epoch="auto")
@@ -126,6 +127,9 @@ def test_serve_rss_ceiling_recycles_and_resumes(cfg):
     state = read_service_state(cfg.output_dir)
     assert state["next_epoch"] == 2
     assert state["stop_reason"] == "max_rounds"
+    # lineage: a new incarnation on the same cursor, rounds accumulate
+    assert state["generation"] == 2 and state["total_rounds"] == 2
+    assert state["rounds"] == 1
 
 
 def _drain_when_round0_done(cfg, action):
