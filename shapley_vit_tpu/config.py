@@ -170,6 +170,11 @@ class ShapleyConfig:
     # coalition eval execution
     coalition_chunk: int = 0               # 0 = no chunking of the coalition axis
     persist_utility_table: bool = True     # resumable rounds (ref memo is RAM-only)
+    # retention for per-epoch utility tables: a table is only ever read to
+    # resume ITS OWN epoch, so completed epochs' tables are dead weight —
+    # keep the most recent K behind the cursor (debugging), delete older.
+    # 0 = keep everything (pre-round-4 behavior)
+    keep_utility_tables: int = 2
 
 
 @dataclass

@@ -256,6 +256,27 @@ def serve(
                 f"(cursor: {STATE_FILENAME})"
             )
 
+    keep_tables = int(cfg.shapley.keep_utility_tables)
+    if (
+        cfg.shapley.persist_utility_table and keep_tables > 0
+        and jax.process_index() == 0
+    ):
+        # one startup sweep clears any backlog the O(1)/round deletion
+        # cannot reach (epoch jumps, retention newly enabled, long-dead
+        # services); the half-finished current epoch's table is kept for
+        # resume, plus the K completed epochs behind the cursor
+        import glob as _glob
+        import re as _re
+
+        floor = (start_epoch if isinstance(start_epoch, int) else 0) - keep_tables
+        for p in _glob.glob(os.path.join(out_dir, "utility_table_epoch_*.npz")):
+            m = _re.search(r"utility_table_epoch_(-?\d+)\.npz$", p)
+            if m and int(m.group(1)) < floor:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
     spec, base, init_lora = start_mod.build_model(cfg)
     if valid is None:
         valid = start_mod.load_validation_dataset(cfg, target_size=spec.image)
@@ -644,6 +665,21 @@ def serve(
             # restart cursor: a recycled/crashed process resumes at
             # next_epoch via start_epoch="auto" (svt-serve's default)
             _write_service_state(out_dir, _cursor(epoch, rss_mb=rss_mb))
+            if cfg.shapley.persist_utility_table and keep_tables > 0:
+                # the completed round's table will never be resumed again;
+                # keep the most recent K behind the cursor, drop the one
+                # falling off the window (O(1)/round — the startup sweep
+                # already cleared any older backlog)
+                # epoch was already advanced: the just-completed epoch is
+                # epoch-1; retain it and the K-1 before it
+                stale = os.path.join(
+                    out_dir,
+                    f"utility_table_epoch_{epoch - 1 - keep_tables}.npz",
+                )
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         if _any_across_ranks(drain_requested()):
             logger.info(
                 f"drain requested; stopping after epoch {epoch - 1} "
@@ -716,7 +752,8 @@ def main(argv=None):
     strict superset of opts.py: ``SVT_MAX_RSS_MB`` (recycle ceiling — exit
     code ``RECYCLE_EXIT_CODE`` when hit, for ``svt-supervise``/systemd) and
     ``SVT_START_EPOCH`` (integer, or the default ``auto`` = resume from the
-    persisted cursor)."""
+    persisted cursor), and ``SVT_KEEP_UTILITY_TABLES`` (per-epoch table
+    retention window; 0 keeps everything)."""
     import sys
 
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
@@ -729,6 +766,9 @@ def main(argv=None):
     )
     ceiling = os.environ.get("SVT_MAX_RSS_MB")
     se = os.environ.get("SVT_START_EPOCH", "auto")
+    keep = os.environ.get("SVT_KEEP_UTILITY_TABLES")
+    if keep is not None:
+        cfg.shapley.keep_utility_tables = int(keep)
     records = serve(
         cfg,
         max_rss_mb=float(ceiling) if ceiling else None,

@@ -209,6 +209,41 @@ def test_serve_drain_file_stale_vs_fresh(cfg):
     assert os.path.exists(drain_path)  # the request outlives the service
 
 
+def test_serve_prunes_old_utility_tables(cfg):
+    """Table retention (keep_utility_tables): a completed epoch's table is
+    never resumed again, so only the most recent K survive a multi-round
+    service — O(1) per-round deletion plus a startup sweep for backlogs."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    for e in range(3):
+        write_epoch(cfg, spec, init_lora, epoch=e)
+    cfg.shapley.keep_utility_tables = 1
+
+    records = serve(cfg, max_rounds=3, timeout=10.0, policy="fail")
+    assert len(records) == 3
+    out = cfg.output_dir
+    assert os.path.exists(os.path.join(out, "utility_table_epoch_2.npz"))
+    for e in (0, 1):
+        assert not os.path.exists(
+            os.path.join(out, f"utility_table_epoch_{e}.npz")
+        ), e
+
+    # startup sweep: fabricate a backlog the per-round path can't reach
+    for e in (0, 1):
+        open(os.path.join(out, f"utility_table_epoch_{e}.npz"), "wb").close()
+    records = serve(cfg, max_rounds=1, timeout=0.5, policy="fail",
+                    start_epoch=3)
+    assert records.stop_reason == "timeout"
+    for e in (0, 1):
+        assert not os.path.exists(
+            os.path.join(out, f"utility_table_epoch_{e}.npz")
+        ), e
+    # within the retention window (cursor 3, K=1 keeps epoch >= 2)
+    assert os.path.exists(os.path.join(out, "utility_table_epoch_2.npz"))
+
+
 def test_serve_resumes_mid_round_from_utility_table(cfg):
     """A killed round's persisted utility table must be picked up on restart:
     with a complete pre-staged table, the round makes ZERO fresh coalition
