@@ -214,5 +214,13 @@ def main(args=None, argv=None):
     return summary
 
 
+def cli(argv=None) -> int:
+    """Console entry (``svt-cent-sgd``): main() returns the summary dict for
+    library callers; the console wrapper calls sys.exit() on the return, so
+    the CLI needs an int."""
+    main(argv=argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -195,12 +195,15 @@ def main(argv=None):
 
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
     cfg.paths = Config.from_env().paths
-    return run_client(
+    run_client(
         cfg,
         client_id=cfg.dist.dist_rank,
         epochs=max(1, cfg.train.epoch_end - cfg.train.epoch_st),
         start_epoch=cfg.train.epoch_st,
     )
+    # the console wrapper calls sys.exit(main()): returning the written
+    # paths list would print it to stderr and exit 1 on SUCCESS
+    return 0
 
 
 if __name__ == "__main__":

@@ -410,7 +410,10 @@ def main(argv: Optional[List[str]] = None):
 
     cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
     cfg.paths = Config.from_env().paths
-    return start(cfg)
+    start(cfg)
+    # the console wrapper calls sys.exit(main()): returning start()'s
+    # result dict would print it to stderr and exit 1 on SUCCESS
+    return 0
 
 
 def start(cfg: Optional[Config] = None, checkpoint_paths: Optional[List[str]] = None):
