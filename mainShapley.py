@@ -4,7 +4,7 @@ start; start()``) — parses the reference flag surface into the typed config.""
 import sys
 
 from shapley_vit_tpu.config import Config
-from shapley_vit_tpu.driver import start
+from shapley_vit_tpu.driver.start import start
 
 if __name__ == "__main__":
     cfg = Config.from_args(sys.argv[1:])

@@ -257,21 +257,38 @@ def serve(
             )
 
     keep_tables = int(cfg.shapley.keep_utility_tables)
+    # prune_floor: every table epoch < prune_floor has been deleted. The
+    # in-loop pruner advances it to the current retention floor and deletes
+    # the range in between — amortized O(1) per epoch CONSUMED (skipped
+    # epochs advance the floor by more than one; a fixed single-file delete
+    # would strand the tables the skip jumped over)
+    prune_floor = (start_epoch if isinstance(start_epoch, int) else 0) - keep_tables
+
+    def prune_tables(new_floor: int) -> None:
+        nonlocal prune_floor
+        for e in range(prune_floor, new_floor):
+            try:
+                os.remove(
+                    os.path.join(out_dir, f"utility_table_epoch_{e}.npz")
+                )
+            except OSError:
+                pass
+        prune_floor = max(prune_floor, new_floor)
+
     if (
         cfg.shapley.persist_utility_table and keep_tables > 0
         and jax.process_index() == 0
     ):
-        # one startup sweep clears any backlog the O(1)/round deletion
-        # cannot reach (epoch jumps, retention newly enabled, long-dead
-        # services); the half-finished current epoch's table is kept for
-        # resume, plus the K completed epochs behind the cursor
+        # one startup sweep clears any backlog below the initial floor
+        # (epoch jumps, retention newly enabled, long-dead services); the
+        # half-finished current epoch's table is kept for resume, plus the
+        # K completed epochs behind the cursor
         import glob as _glob
         import re as _re
 
-        floor = (start_epoch if isinstance(start_epoch, int) else 0) - keep_tables
         for p in _glob.glob(os.path.join(out_dir, "utility_table_epoch_*.npz")):
             m = _re.search(r"utility_table_epoch_(-?\d+)\.npz$", p)
-            if m and int(m.group(1)) < floor:
+            if m and int(m.group(1)) < prune_floor:
                 try:
                     os.remove(p)
                 except OSError:
@@ -456,6 +473,11 @@ def serve(
                     out_dir,
                     _cursor(epoch, skipped=True, rss_mb=process_rss_mb()),
                 )
+                if cfg.shapley.persist_utility_table and keep_tables > 0:
+                    # the skip advanced the cursor past this epoch: move
+                    # the retention floor with it, or the tables the skip
+                    # jumped over would be stranded until the next restart
+                    prune_tables(epoch - keep_tables)
             continue
         skipped = 0
         # per-client data sizes from checkpoint metadata drive the FedAvg
@@ -666,20 +688,11 @@ def serve(
             # next_epoch via start_epoch="auto" (svt-serve's default)
             _write_service_state(out_dir, _cursor(epoch, rss_mb=rss_mb))
             if cfg.shapley.persist_utility_table and keep_tables > 0:
-                # the completed round's table will never be resumed again;
-                # keep the most recent K behind the cursor, drop the one
-                # falling off the window (O(1)/round — the startup sweep
-                # already cleared any older backlog)
-                # epoch was already advanced: the just-completed epoch is
-                # epoch-1; retain it and the K-1 before it
-                stale = os.path.join(
-                    out_dir,
-                    f"utility_table_epoch_{epoch - 1 - keep_tables}.npz",
-                )
-                try:
-                    os.remove(stale)
-                except OSError:
-                    pass
+                # the completed round's table will never be resumed again:
+                # advance the retention floor (epoch was already
+                # incremented — the just-completed epoch is epoch-1; retain
+                # it and the K-1 before it, delete everything older)
+                prune_tables(epoch - keep_tables)
         if _any_across_ranks(drain_requested()):
             logger.info(
                 f"drain requested; stopping after epoch {epoch - 1} "
@@ -767,7 +780,7 @@ def main(argv=None):
     ceiling = os.environ.get("SVT_MAX_RSS_MB")
     se = os.environ.get("SVT_START_EPOCH", "auto")
     keep = os.environ.get("SVT_KEEP_UTILITY_TABLES")
-    if keep is not None:
+    if keep:  # same truthiness guard as SVT_MAX_RSS_MB ("" means unset)
         cfg.shapley.keep_utility_tables = int(keep)
     records = serve(
         cfg,

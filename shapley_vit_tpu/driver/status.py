@@ -45,12 +45,21 @@ def collect_status(out_dir: str, last: int = 3) -> Dict:
     try:
         with open(os.path.join(out_dir, "shapley_round.csv")) as f:
             for row in csv.DictReader(f):
-                rounds.setdefault(row["round"], {}).setdefault(
-                    row["utility"], {}
-                )[row["client_id"]] = float(row["shapley_value"])
-    except (OSError, KeyError, ValueError):
+                # the service appends in place (not atomic), so a live read
+                # can see a torn last line — skip any row that does not
+                # parse instead of crashing the status view
+                try:
+                    rnd = str(int(row["round"]))
+                    val = float(row["shapley_value"])
+                    dim, cid = row["utility"], row["client_id"]
+                except (KeyError, TypeError, ValueError):
+                    continue
+                if dim is None or cid is None:
+                    continue
+                rounds.setdefault(rnd, {}).setdefault(dim, {})[cid] = val
+    except OSError:
         pass
-    keys = sorted(rounds, key=lambda r: int(r))[-last:] if rounds else []
+    keys = sorted(rounds, key=int)[-last:] if rounds and last > 0 else []
     status["recent_rounds"] = {k: rounds[k] for k in keys}
     status["rounds_on_disk"] = len(rounds)
     return status

@@ -80,7 +80,13 @@ def supervise(
     def _forward(signum, frame):
         stop_sig[0] = signum
         p = current[0]
-        if p is not None and p.poll() is None:
+        if p is not None and p.poll() is None and not forwarded[0]:
+            # forward exactly ONE stop signal, ever: the child's drain
+            # handler re-arms SIG_DFL after the first, so a second forward
+            # would force-kill a drain in progress and the supervisor would
+            # have no way to tell that from a boot-window kill. To
+            # force-kill a wedged drain, signal the serve child directly
+            # (it runs in its own session) or SIGKILL the supervisor tree.
             p.send_signal(signum)
             forwarded[0] = True
 

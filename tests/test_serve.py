@@ -244,6 +244,36 @@ def test_serve_prunes_old_utility_tables(cfg):
     assert os.path.exists(os.path.join(out, "utility_table_epoch_2.npz"))
 
 
+def test_serve_prunes_across_skipped_epochs(cfg):
+    """A skipped (all-corrupt) epoch advances the cursor by more than one
+    completed round — the retention floor must advance WITH the cursor or
+    the tables the skip jumped over are stranded forever (review finding:
+    the fixed single-file delete targeted an epoch that never existed)."""
+    import importlib
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0)
+    # epoch 1: every client's file exists but is garbage -> skipped round
+    for i in range(3):
+        p = os.path.join(cfg.paths.local_model_path, f"client_{i + 1}_model",
+                         "ViT_epoch_1.pth.tar")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"not a checkpoint")
+    write_epoch(cfg, spec, init_lora, epoch=2)
+    cfg.shapley.keep_utility_tables = 1
+
+    records = serve(cfg, max_rounds=2, timeout=10.0, policy="fail")
+    assert len(records) == 2
+    assert [r["epoch"] for r in records] == [0, 2]
+    out = cfg.output_dir
+    assert os.path.exists(os.path.join(out, "utility_table_epoch_2.npz"))
+    # epoch 0's table fell below the cursor-relative floor when the skip
+    # advanced the cursor; it must be gone WITHOUT a restart sweep
+    assert not os.path.exists(os.path.join(out, "utility_table_epoch_0.npz"))
+
+
 def test_serve_resumes_mid_round_from_utility_table(cfg):
     """A killed round's persisted utility table must be picked up on restart:
     with a complete pre-staged table, the round makes ZERO fresh coalition

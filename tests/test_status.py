@@ -70,6 +70,38 @@ def test_status_cli_json_and_exit_codes(tmp_path, capsys):
     assert rc == 0
 
 
+def test_status_tolerates_torn_csv_and_last_zero(tmp_path):
+    """The service appends the round CSV in place, so a live read can see a
+    torn last line — status must skip it, not crash; --last 0 means 'cursor
+    only', not 'every round ever'."""
+    out = _stage(tmp_path)
+    with open(os.path.join(out, "shapley_round.csv"), "a") as f:
+        f.write("3,accuracy,1\n")      # short row (torn mid-append)
+        f.write("notanint,accuracy,1,0.5\n")  # garbage round id
+    s = st.collect_status(out, last=2)
+    assert s["rounds_on_disk"] == 4  # the torn/garbage rows were skipped
+    assert s["recent_rounds"]["3"]["accuracy"]["2"] == 0.01 * 4 * 3
+
+    s = st.collect_status(out, last=0)
+    assert s["recent_rounds"] == {}
+    assert s["rounds_on_disk"] == 4
+
+
+def test_cli_shim_binds_the_start_function():
+    """Importing driver.serve first must not shadow the start FUNCTION the
+    CLI shim binds (the package once lazily re-exported the name `start`,
+    which the same-named submodule shadowed on first import)."""
+    import importlib
+    import sys
+
+    importlib.import_module("shapley_vit_tpu.driver.serve")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    shim = importlib.import_module("mainShapley")
+    assert callable(shim.start) and not hasattr(shim.start, "__path__")
+
+
 def test_status_import_is_light(tmp_path):
     # the tool must stay usable on hosts without the compute stack: its
     # module graph (status -> protocol) is stdlib-only
