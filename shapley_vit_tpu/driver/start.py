@@ -148,9 +148,7 @@ def build_eval_backend(cfg: Config, spec, base, init_lora, log_fn=None):
         powerset_dominant_coalitions,
     )
 
-    cbytes = coalition_residency_bytes(init_lora) or 0
-    if mode == "merged":
-        cbytes += 2 * spec.depth * spec.hidden * spec.hidden * 2
+    cbytes = coalition_residency_bytes(init_lora, eval_mode=mode, spec=spec) or 0
     backend = make_eval_backend(
         fwd,
         coalition_chunk=chunk,

@@ -57,7 +57,11 @@ def collect_status(out_dir: str, last: int = 3) -> Dict:
                 if dim is None or cid is None:
                     continue
                 rounds.setdefault(rnd, {}).setdefault(dim, {})[cid] = val
-    except OSError:
+    except (OSError, csv.Error, UnicodeDecodeError):
+        # csv.Error covers reader-level corruption the per-row guard never
+        # sees (e.g. a NUL-padded tail after a power loss: DictReader
+        # raises "line contains NUL" from inside iteration) — the status
+        # view must stay usable on whatever rounds parsed before the tear
         pass
     keys = sorted(rounds, key=int)[-last:] if rounds and last > 0 else []
     status["recent_rounds"] = {k: rounds[k] for k in keys}

@@ -73,22 +73,19 @@ def supervise(
     # the child owns the cursor: always resume from service_state.json
     child_env.setdefault("SVT_START_EPOCH", "auto")
 
-    current: List[Optional[subprocess.Popen]] = [None]
     stop_sig: List[Optional[int]] = [None]
-    forwarded: List[bool] = [False]
+    forwarded_sig: List[Optional[int]] = [None]
 
+    # the handler only RECORDS the signal; all forwarding happens in the
+    # supervise thread's wait loop. Exactly-once then needs no cross-thread
+    # atomics: a handler that also sends races the loop's own launch-window
+    # send (a second Ctrl-C between the loop's check and its send_signal
+    # delivered TWO signals — and the child's drain handler re-arms SIG_DFL
+    # after the first, so the second force-kills a drain in progress). To
+    # force-kill a wedged drain, signal the serve child directly (it runs
+    # in its own session) or SIGKILL the supervisor tree.
     def _forward(signum, frame):
         stop_sig[0] = signum
-        p = current[0]
-        if p is not None and p.poll() is None and not forwarded[0]:
-            # forward exactly ONE stop signal, ever: the child's drain
-            # handler re-arms SIG_DFL after the first, so a second forward
-            # would force-kill a drain in progress and the supervisor would
-            # have no way to tell that from a boot-window kill. To
-            # force-kill a wedged drain, signal the serve child directly
-            # (it runs in its own session) or SIGKILL the supervisor tree.
-            p.send_signal(signum)
-            forwarded[0] = True
 
     restore = []
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -99,7 +96,7 @@ def supervise(
 
     try:
         return _supervise_loop(
-            child_cmd, child_env, current, stop_sig, forwarded, max_restarts,
+            child_cmd, child_env, stop_sig, forwarded_sig, max_restarts,
             restart_on_crash, restart_delay_s, log_fn,
         )
     finally:
@@ -108,11 +105,18 @@ def supervise(
 
 
 def _supervise_loop(
-    child_cmd, child_env, current, stop_sig, forwarded, max_restarts,
+    child_cmd, child_env, stop_sig, forwarded_sig, max_restarts,
     restart_on_crash, restart_delay_s, log_fn,
 ) -> int:
     restarts = 0
     while True:
+        if stop_sig[0] is not None:
+            # a stop arrived before this (re)launch — don't spawn a child
+            # that exists only to be signaled dead in its boot window (the
+            # restart path pays a full process + import spin-up otherwise)
+            log_fn(f"supervise: stop signal {stop_sig[0]} received; "
+                   "not launching another child")
+            return 0
         t0 = time.time()
         # start_new_session: the child must receive stop signals ONLY via
         # the forward — in a terminal, Ctrl-C otherwise reaches the whole
@@ -121,22 +125,30 @@ def _supervise_loop(
         # SIG_DFL (= force-kill mid-drain)
         proc = subprocess.Popen(child_cmd, env=child_env,
                                 start_new_session=True)
-        current[0] = proc
-        if stop_sig[0] is not None and not forwarded[0] and proc.poll() is None:
-            # a stop signal landed in the launch window, before the child
-            # existed to receive the forward — deliver it exactly once
-            proc.send_signal(stop_sig[0])
-            forwarded[0] = True
-        rc = proc.wait()
-        current[0] = None
+        rc = None
+        while rc is None:
+            if stop_sig[0] is not None and forwarded_sig[0] is None:
+                # the ONLY send site, in ONE thread: claim, then deliver.
+                # Covers both the steady state and a signal that landed in
+                # the launch window before the child existed.
+                forwarded_sig[0] = stop_sig[0]
+                proc.send_signal(stop_sig[0])
+            try:
+                rc = proc.wait(timeout=0.2)
+            except subprocess.TimeoutExpired:
+                rc = None
         if stop_sig[0] is not None:
+            fwd = forwarded_sig[0]
             log_fn(f"supervise: stop signal {stop_sig[0]} received; child "
                    f"exited {rc}; not restarting")
             # an orderly stop is clean even if the child was mid-recycle or
             # was caught in its boot window before its drain handler existed
-            # (rc == -signal: killed by exactly the one signal we forwarded,
-            # with no round in flight to lose); real crashes propagate
-            return 0 if rc in (0, RECYCLE_EXIT_CODE, -stop_sig[0]) else rc
+            # (rc == -fwd: killed by exactly the signal we ACTUALLY
+            # forwarded — a later, different, un-forwarded signal must not
+            # shift the comparison); real crashes propagate
+            if rc in (0, RECYCLE_EXIT_CODE):
+                return 0
+            return 0 if (fwd is not None and rc == -fwd) else rc
         if rc == 0:
             log_fn(f"supervise: child exited cleanly after {restarts} restart(s)")
             return 0

@@ -105,8 +105,13 @@ def choose_coalition_shards(
     still runs; chunking bounds true residency).
     """
     cands = enumerate_shard_choices(n_devices, coalitions, batch, coalition_bytes)
-    budget = hbm_bytes - model_bytes if hbm_bytes else 0
-    feasible = [c for c in cands if not budget or c.resident_bytes <= budget]
+    # None == filter disabled (no hbm figure); a budget of exactly 0 — or
+    # negative, when the model estimate alone exceeds device memory — must
+    # still FILTER (nothing fits) rather than silently pass every shape
+    budget = (hbm_bytes - model_bytes) if hbm_bytes else None
+    feasible = [
+        c for c in cands if budget is None or c.resident_bytes <= budget
+    ]
     pool = feasible or cands
     best = min(
         pool,
@@ -119,13 +124,20 @@ def choose_coalition_shards(
         f"({best.coalitions_per_device} coalitions x "
         f"{best.batch_per_device}/batch)"
     )
-    if budget and not feasible:
-        why += (
-            f" [WARNING: {best.resident_bytes / 1e9:.2f}GB coalition "
-            f"residency exceeds the {budget / 1e9:.2f}GB budget at every "
-            "split; relying on the evaluator's chunking]"
-        )
-    elif budget:
+    if budget is not None and not feasible:
+        if budget <= 0:
+            why += (
+                f" [WARNING: model residency {model_bytes / 1e9:.2f}GB "
+                f">= device memory {hbm_bytes / 1e9:.2f}GB — no coalition "
+                "budget at any split; relying on the evaluator's chunking]"
+            )
+        else:
+            why += (
+                f" [WARNING: {best.resident_bytes / 1e9:.2f}GB coalition "
+                f"residency exceeds the {budget / 1e9:.2f}GB budget at every "
+                "split; relying on the evaluator's chunking]"
+            )
+    elif budget is not None:
         why += f", residency {best.resident_bytes / 1e6:.0f}MB within budget"
     best.rationale = why
     return best
@@ -152,13 +164,25 @@ def _leaf_bytes(tree) -> int:
 
 
 def coalition_residency_bytes(
-    varying_example, eval_mode: str = "overlay"
+    varying_example, eval_mode: str = "overlay", spec=None
 ) -> Optional[int]:
     """Per-coalition device residency for the memory filter.
 
-    ``varying_example``: one coalition's varying tree — the LoRA overlay in
-    overlay mode, or the folded dense q/v tree in merged mode (the caller
-    passes whichever feeds forward_fn). None disables the filter."""
+    ``varying_example``: one coalition's varying tree (the LoRA overlay, or
+    whatever feeds forward_fn). None disables the filter. In
+    ``eval_mode="merged"`` pass the model ``ViTSpec`` too: merged eval folds
+    per-coalition DENSE q/v kernels on top of the overlay
+    (2·depth·hidden² compute-dtype bytes — 28MB for ViT-B bf16), and that
+    term is accounted here so every caller sizes the fold identically."""
     if varying_example is None:
         return None
-    return _leaf_bytes(varying_example)
+    total = _leaf_bytes(varying_example)
+    if eval_mode == "merged":
+        if spec is None:
+            raise ValueError(
+                "eval_mode='merged' needs spec= to size the folded "
+                "dense q/v kernels"
+            )
+        itemsize = spec.compute_dtype.itemsize
+        total += 2 * spec.depth * spec.hidden * spec.hidden * itemsize
+    return total

@@ -73,6 +73,12 @@ def masked_crc32c(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64s as 10-byte two's complement;
+        # without this the shift loop below never terminates (Python's
+        # arithmetic shift keeps -1 at -1) and add_scalar would spin the
+        # caller forever on e.g. a negative step
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -204,6 +210,8 @@ def read_scalar_events(path: str, check_crc: bool = True):
         off += 12 + n + 4
         ev = _decode_fields(body)
         step = ev.get((2, 0), 0)
+        if step >= 1 << 63:  # int64 two's complement (negative steps)
+            step -= 1 << 64
         for summary in _as_list(ev.get((5, 2))):
             for value in _as_list(_decode_fields(summary).get((1, 2))):
                 vf = _decode_fields(value)

@@ -403,3 +403,44 @@ def test_sharded_evaluator_shape_sweep(setup, n_coalition, C, sizes):
     )
     assert got.shape == (C, 2)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_autoshape_zero_or_negative_budget_still_filters():
+    """hbm <= model bytes means NO coalition budget: every split must be
+    infeasible (warning rationale), not silently pass the filter (the old
+    `not budget` treated budget==0 as 'filter disabled' — round-4 review)."""
+    from shapley_vit_tpu.parallel.autoshape import choose_coalition_shards
+
+    # budget exactly 0
+    c = choose_coalition_shards(
+        8, 12, 128, coalition_bytes=1_000_000,
+        hbm_bytes=1_000_000_000, model_bytes=1_000_000_000,
+    )
+    assert "WARNING" in c.rationale and "no coalition budget" in c.rationale
+    # budget negative: the message must name the model/hbm figures, not
+    # print a nonsensical negative-GB budget
+    c = choose_coalition_shards(
+        8, 12, 128, coalition_bytes=1_000_000,
+        hbm_bytes=1_000_000_000, model_bytes=2_000_000_000,
+    )
+    assert "no coalition budget" in c.rationale and "-" not in c.rationale.split("WARNING")[1].split("GB")[0]
+
+
+def test_coalition_residency_accounts_merged_fold():
+    """eval_mode='merged' adds the folded dense q/v kernels
+    (2·depth·hidden² compute-dtype bytes) — previously a dead parameter the
+    only caller worked around by hand (round-4 review)."""
+    import jax.numpy as jnp
+
+    from shapley_vit_tpu.models import vit as jvit
+    from shapley_vit_tpu.parallel.autoshape import coalition_residency_bytes
+
+    spec = jvit.make_spec("micro", num_classes=2, dtype="bfloat16")
+    lora = jvit.init_lora(jax.random.key(0), spec)
+    overlay = coalition_residency_bytes(lora)
+    merged = coalition_residency_bytes(lora, eval_mode="merged", spec=spec)
+    itemsize = jnp.dtype("bfloat16").itemsize
+    assert merged == overlay + 2 * spec.depth * spec.hidden**2 * itemsize
+    with pytest.raises(ValueError):
+        coalition_residency_bytes(lora, eval_mode="merged")  # spec required
+    assert coalition_residency_bytes(None) is None

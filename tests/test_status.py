@@ -122,3 +122,15 @@ def test_status_import_is_light(tmp_path):
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
                           text=True)
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_status_tolerates_nul_corrupt_csv(tmp_path):
+    """Reader-level corruption (a NUL-padded tail after power loss on ext4
+    with delayed allocation) raises csv.Error from INSIDE DictReader
+    iteration — before the per-row guard — and must not crash svt-status
+    (round-4 review: only OSError was caught)."""
+    out = _stage(tmp_path)
+    with open(os.path.join(out, "shapley_round.csv"), "ab") as f:
+        f.write(b"\x00" * 64)
+    s = st.collect_status(out, last=2)
+    assert s["rounds_on_disk"] >= 1  # rows before the tear still parsed

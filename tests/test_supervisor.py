@@ -276,3 +276,32 @@ def test_supervised_service_recycles_end_to_end(tmp_path):
         assert os.path.exists(
             os.path.join(str(tmp_path / "global"), f"ViT_global_epoch_{epoch}.npz")
         ), (epoch, "\n".join(logs))
+
+
+def test_stop_during_restart_delay_spawns_no_doomed_child(tmp_path):
+    """A stop signal landing between a recycle exit and the next launch
+    must end the chain WITHOUT spawning a child that exists only to be
+    killed in its boot window (round-4 review: the old loop Popen'd first
+    and only then noticed the stop)."""
+    import signal
+    import threading
+    import time
+
+    cmd, counter = _scripted_child(tmp_path, [RECYCLE_EXIT_CODE])
+
+    def fire():
+        deadline = time.time() + 20
+        while time.time() < deadline and _runs(counter) < 1:
+            time.sleep(0.01)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=fire)
+    t.start()
+    logs = []
+    rc = supervise(cmd, restart_delay_s=3.0, log_fn=logs.append)
+    t.join()
+    assert rc == 0, logs
+    # one launch only: either the signal stopped the chain in the restart
+    # delay (no second Popen), or it was forwarded to the still-live first
+    # child — never a second child
+    assert _runs(counter) == 1, logs

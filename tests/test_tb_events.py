@@ -136,3 +136,18 @@ def test_writer_threaded_appends(tmp_path):
     for tid in range(4):
         vals = [(v, s) for tag, v, s in got if tag == f"t{tid}"]
         assert vals == [(float(i), i) for i in range(200)]
+
+
+def test_negative_step_encodes_and_round_trips(tmp_path):
+    """Protobuf varints encode negative int64s as 10-byte two's complement;
+    the old shift loop never terminated for n<0 (Python keeps -1 at -1
+    under >>), hanging add_scalar in the caller's thread (round-4 review).
+    """
+    enc = tb_events._varint(-1)
+    assert enc == b"\xff" * 9 + b"\x01"  # canonical proto encoding of -1
+    w = tb_events.ScalarEventWriter(str(tmp_path))
+    w.add_scalar("relative/epoch", 0.5, step=-3)
+    w.close()
+    assert tb_events.read_scalar_events(w.path) == [
+        ("relative/epoch", 0.5, -3)
+    ]
