@@ -46,12 +46,6 @@ std::string dirname_of(const std::string& path) {
   return std::string(::dirname(buf.data()));
 }
 
-std::string basename_of(const std::string& path) {
-  std::vector<char> buf(path.begin(), path.end());
-  buf.push_back('\0');
-  return std::string(::basename(buf.data()));
-}
-
 }  // namespace
 
 extern "C" {
@@ -236,15 +230,31 @@ int svt_preload_files(const char** paths, int n, uint8_t** bufs,
       sizes[i] = -1;
       int fd = ::open(paths[i], O_RDONLY | O_CLOEXEC);
       if (fd < 0) continue;
+      // re-stat the OPEN fd: the caller sized bufs[i] from an earlier
+      // stat, and under the atomic-rename protocol the file can appear,
+      // grow, or be replaced between that stat and this open (TOCTOU) —
+      // on any size mismatch the buffer does not describe this file, so
+      // report a per-file error and let the caller fall back to a plain
+      // read rather than hand it truncated or empty bytes
+      struct stat st;
+      if (::fstat(fd, &st) != 0 ||
+          static_cast<int64_t>(st.st_size) != caps[i]) {
+        ::close(fd);
+        continue;
+      }
       int64_t off = 0;
-      for (;;) {
+      bool err = false;
+      while (off < caps[i]) {
         ssize_t r = ::pread(fd, bufs[i] + off, caps[i] - off, off);
         if (r < 0 && errno == EINTR) continue;
-        if (r <= 0) break;
+        if (r <= 0) {  // mid-read error, or the file shrank under us
+          err = true;
+          break;
+        }
         off += r;
-        if (off >= caps[i]) break;
       }
       ::close(fd);
+      if (err || off != caps[i]) continue;  // partial reads are NOT success
       sizes[i] = off;
       ok.fetch_add(1);
     }

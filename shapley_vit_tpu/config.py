@@ -281,6 +281,7 @@ class Config:
         t.resume, t.load_model = ns.resume, ns.loadModel
         t.snapshot_fname_prefix = ns.snapshot_fname_prefix
         t.noise_multiplier = ns.noise_multiplier
+        t.use_dp, t.label_flip_prob = ns.use_dp, ns.label_flip_prob
         da = cfg.data
         da.dataset_type, da.data_dir = ns.dataset_type, ns.data_dir
         da.data_sub_dir, da.patch_size, da.mode = ns.data_sub_dir, ns.patch_size, ns.mode
@@ -368,4 +369,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-of-tasks", "--num_of_tasks", type=int, default=14)
     p.add_argument("--use-whole-dataset", "--use_whole_dataset", dest="use_whole_dataset", action="store_true", default=False)
     p.add_argument("--noise-multiplier", "--noise_multiplier", type=float, default=0.5)
+    # framework extensions (not in the reference opts.py): the reference's
+    # --noise-multiplier has no in-repo consumer, so DP-SGD is gated on an
+    # explicit opt-in, and the v1 client's label_flip_prob (client.py:53-59)
+    # gets a CLI knob — without these, svt-client could never reach either
+    # path from the command line
+    p.add_argument("--use-dp", "--use_dp", dest="use_dp",
+                   action="store_true", default=False)
+    p.add_argument("--label-flip-prob", "--label_flip_prob",
+                   dest="label_flip_prob", type=float, default=0.0)
     return p

@@ -60,15 +60,19 @@ def run_client(
     data: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     start_epoch: int = 0,
     seed: int = 0,
+    lr: Optional[float] = None,
 ) -> List[str]:
     """Train this client locally and drop per-epoch checkpoints; returns
     the written paths. ``data`` is the client's local (images, labels)
     shard; when None, a synthetic non-IID shard of the configured dataset
     stands in (offline runs / demos — same fallback as the server side).
     ``cfg.train.label_flip_prob`` poisons labels (reference client.py:53-59);
-    ``cfg.train.noise_multiplier > 0`` with ``cfg.train.lr`` switches the
-    local optimizer to DP-SGD (the reference's flag, given a real consumer).
-    """
+    ``cfg.train.use_dp`` with ``cfg.train.noise_multiplier > 0`` switches
+    the local optimizer to DP-SGD at ``cfg.train.lr`` (the reference's
+    flag, given a real consumer). ``lr`` sets the non-DP Adam rate; None
+    keeps the 5e-3 default (the reference likewise hardcodes its in-repo
+    Adam at lr=0.001 regardless of ``-lr``, start.py:62-66 — ``svt-client
+    -lr ...`` passes it explicitly)."""
     import importlib
 
     import jax
@@ -133,7 +137,7 @@ def run_client(
         )
         init_opt_state = _opt.init
     else:
-        opt = optax.adam(5e-3)
+        opt = optax.adam(5e-3 if lr is None else lr)
         step = tr.make_train_step(
             fwd, opt, spec.num_classes,
             label_flip_prob=cfg.train.label_flip_prob,
@@ -157,6 +161,14 @@ def run_client(
             try:
                 lora = ingestion.load_client_lora(g, spec)
                 state = init_opt_state(lora)
+                if dp:
+                    # init restores the DP noise key to its seed — left
+                    # alone, every adoption would REPLAY the same noise
+                    # stream (differencing two rounds' checkpoints cancels
+                    # it, voiding the guarantee); give each adoption a
+                    # fresh split of the client's key chain
+                    key, sub = jax.random.split(key)
+                    state = tr.refresh_dp_noise_key(state, sub)
                 last_global = g
                 logger.info(f"client {client_id}: synced from {os.path.basename(g)}")
             except Exception as e:
@@ -193,13 +205,18 @@ def main(argv=None):
     rank)."""
     import sys
 
-    cfg = Config.from_args(sys.argv[1:] if argv is None else argv)
+    args = sys.argv[1:] if argv is None else argv
+    cfg = Config.from_args(args)
     cfg.paths = Config.from_env().paths
     run_client(
         cfg,
         client_id=cfg.dist.dist_rank,
         epochs=max(1, cfg.train.epoch_end - cfg.train.epoch_st),
         start_epoch=cfg.train.epoch_st,
+        # honor an EXPLICIT -lr; the bare default (3e-1, reference parity)
+        # would diverge LoRA-Adam, and the reference itself ignores -lr for
+        # its in-repo Adam (start.py:62-66)
+        lr=cfg.train.lr if "-lr" in args else None,
     )
     # the console wrapper calls sys.exit(main()): returning the written
     # paths list would print it to stderr and exit 1 on SUCCESS

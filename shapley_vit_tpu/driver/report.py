@@ -36,7 +36,11 @@ def submit_async_artifact(fn, *args, **kwargs):
     production service must see a dead disk every round, not at a return
     that never comes); :func:`flush_async_plots` additionally waits for and
     can re-raise them. Settled futures are pruned on each submit so the
-    pending list stays bounded across an unbounded service."""
+    pending list stays bounded across an unbounded service — including
+    FAILED ones beyond the most recent few: a failed future pins its
+    arguments through the exception traceback (for the async global export,
+    a whole overlay pytree), so retaining every failure across a
+    persistently dead disk would grow RSS by an overlay per round."""
     global _PLOT_EXECUTOR
     from concurrent.futures import ThreadPoolExecutor
 
@@ -56,11 +60,16 @@ def submit_async_artifact(fn, *args, **kwargs):
             _PLOT_EXECUTOR = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="svt-plot"
             )
-        # prune settled-and-clean futures; keep failures so a later flush
-        # can still surface them (failures were already logged above)
-        _PLOT_PENDING[:] = [
-            f for f in _PLOT_PENDING if not f.done() or f.exception() is not None
+        # prune settled-and-clean futures; keep only the most recent
+        # failures for a later flush to surface (each was already logged
+        # above, and each retains its args via the traceback — see
+        # docstring)
+        live = [f for f in _PLOT_PENDING if not f.done()]
+        failed = [
+            f for f in _PLOT_PENDING
+            if f.done() and f.exception() is not None
         ]
+        _PLOT_PENDING[:] = live + failed[-8:]
         fut = _PLOT_EXECUTOR.submit(run)
         _PLOT_PENDING.append(fut)
         return fut
@@ -172,7 +181,9 @@ def plot_shapley_rounds(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    clients = sorted(per_round[0][dim])
+    # union across rounds: a straggler skipped in round 0 but present later
+    # must still get a trajectory line (absent rounds plot as 0.0)
+    clients = sorted({c for sv in per_round for c in sv[dim]})
     fig, ax = plt.subplots(figsize=(6, 4))
     for c in clients:
         ax.plot(
@@ -247,12 +258,15 @@ def render_saliency(
     ``--use-grad-cam`` / ``--sal-image-fname-dir`` flags (opts.py:70-72,
     flags with no in-repo consumer there). Synchronous and opt-in: the
     saliency forward runs unjitted (it collects per-layer activations), so
-    only enabled runs pay for it."""
-    import jax.numpy as jnp
-    import matplotlib
+    only enabled runs pay for it.
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Two-thread split: the DEVICE compute stays on the caller's thread
+    (main-loop collectives must never interleave from the artifact
+    thread), while the matplotlib render runs ON the single artifact
+    worker and is waited for — serve() queues its bar/trajectory plots on
+    that same worker, and pyplot's global figure state is not re-entrant,
+    so rendering here directly would race them."""
+    import jax.numpy as jnp
 
     from shapley_vit_tpu.models import interpret
 
@@ -262,19 +276,27 @@ def render_saliency(
     scale = imgs.shape[1] // sal.shape[1]
     sal_up = np.kron(sal, np.ones((1, scale, scale)))
 
-    fig, axes = plt.subplots(1, len(imgs), figsize=(2.4 * len(imgs), 2.6))
-    if len(imgs) == 1:
-        axes = [axes]
-    for ax, img, s in zip(axes, imgs, sal_up):
-        shown = img.squeeze()
-        ax.imshow(
-            np.clip(shown, 0, 1), cmap="gray" if shown.ndim == 2 else None
-        )
-        ax.imshow(s, cmap="jet", alpha=0.4)
-        ax.axis("off")
-    fig.suptitle(f"{method} — round {round_idx} global model")
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"saliency_r{round_idx}.png")
-    fig.savefig(path, dpi=110, bbox_inches="tight")
-    plt.close(fig)
-    return path
+    def _render() -> str:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, len(imgs), figsize=(2.4 * len(imgs), 2.6))
+        if len(imgs) == 1:
+            axes = [axes]
+        for ax, img, s in zip(axes, imgs, sal_up):
+            shown = img.squeeze()
+            ax.imshow(
+                np.clip(shown, 0, 1), cmap="gray" if shown.ndim == 2 else None
+            )
+            ax.imshow(s, cmap="jet", alpha=0.4)
+            ax.axis("off")
+        fig.suptitle(f"{method} — round {round_idx} global model")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"saliency_r{round_idx}.png")
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+    return submit_async_artifact(_render).result()

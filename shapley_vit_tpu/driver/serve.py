@@ -627,7 +627,9 @@ def serve(
             # Grad-CAM overlays of the round's global model (the backend
             # for the reference's dead --use-grad-cam flag). Synchronous:
             # the unjitted saliency forward must not interleave with the
-            # main loop's collectives from the artifact thread.
+            # main loop's collectives from the artifact thread (the
+            # matplotlib render itself runs ON that worker, serialized
+            # against the queued bar/trajectory plots — report.py).
             artifacts.append(
                 report_mod.render_saliency(
                     os.path.join(cfg.obs.sal_image_dir, cfg.obs.exp_id),

@@ -19,27 +19,41 @@ _LIB_PATH = os.path.join(
     "libsvt_runtime.so",
 )
 _lib = None
+_build_failed = False
 
 
 def build_native(force: bool = False) -> bool:
     """Build libsvt_runtime.so via make. Returns True on success."""
+    global _build_failed
     csrc = os.path.dirname(_LIB_PATH)
     if os.path.exists(_LIB_PATH) and not force:
         return True
     try:
         subprocess.run(["make", "-C", csrc], check=True, capture_output=True)
-        return os.path.exists(_LIB_PATH)
+        if os.path.exists(_LIB_PATH):
+            _build_failed = False
+            return True
+        return False
     except Exception:
         return False
 
 
 def load_native(auto_build: bool = True):
-    """Load (building if needed) the native library; None if unavailable."""
-    global _lib
+    """Load (building if needed) the native library; None if unavailable.
+
+    A failed build is CACHED for the process: native_available() is called
+    once per serve round (ingestion.wait_for_checkpoints), and on a host
+    without a toolchain re-spawning a doomed ``make`` subprocess every
+    round would tax the loop for the life of the service. ``build_native
+    (force=True)`` retries explicitly."""
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        if not auto_build or not build_native():
+        if not auto_build or _build_failed:
+            return None
+        if not build_native():
+            _build_failed = True
             return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.svt_wait_for_files.restype = ctypes.c_int
@@ -132,7 +146,11 @@ def wait_for_file_groups(
 
 def preload_files(paths: Sequence[str], threads: int = 0) -> List[Optional[bytes]]:
     """Read many files concurrently via the native thread pool. Returns file
-    contents (None for unreadable entries)."""
+    contents (None for unreadable entries — including files whose size
+    CHANGED between the sizing stat and the native open/fstat, and partial
+    mid-read failures: the C side returns complete bytes or a per-file
+    error, never truncated content the caller could mistake for a valid
+    checkpoint)."""
     lib = load_native()
     if lib is None:
         raise RuntimeError("libsvt_runtime.so not built (run make -C csrc)")

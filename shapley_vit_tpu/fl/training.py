@@ -129,6 +129,29 @@ def make_dp_train_step(
     return step, optimizer
 
 
+def refresh_dp_noise_key(opt_state, key):
+    """Replace the DP aggregate's PRNG key leaf with ``key``.
+
+    ``optimizer.init`` restores the noise key to the seed it was built
+    with, so a caller that re-inits optimizer state (e.g. adopting a new
+    global each FL round) would REPLAY the identical Gaussian noise stream
+    — an observer differencing two rounds' checkpoints with equal step
+    counts cancels the noise and voids the DP guarantee. Call this after
+    every re-init with a freshly split key. Detection is by dtype: the
+    optax state stores a typed key array (``key<fry>``), the only such
+    leaf in the chain."""
+    import jax.dtypes
+
+    def repl(leaf):
+        if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+            leaf.dtype, jax.dtypes.prng_key
+        ):
+            return key
+        return leaf
+
+    return jax.tree.map(repl, opt_state)
+
+
 def make_multi_client_train_step(
     forward_fn: Callable[[PyTree, PyTree, jax.Array], jax.Array],
     optimizer: optax.GradientTransformation,
