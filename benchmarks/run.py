@@ -63,6 +63,28 @@ CONFIGS = {
 }
 
 
+def _make_synthetic_deltas(root, n: int, seed: int):
+    """Stacked per-client synthetic delta trees (0.02-scale keyed normals)
+    over ``root``'s structure — ONE definition shared by configs 1-7 and
+    the large-n config so their inputs can never silently diverge."""
+    import jax
+
+    from shapley_vit_tpu.ops import tree_math as tm
+
+    leaves, treedef = jax.tree.flatten(root)
+    deltas = [
+        treedef.unflatten([
+            0.02 * jax.random.normal(k, l.shape)
+            for k, l in zip(
+                jax.random.split(jax.random.key(seed + 10 + i), len(leaves)),
+                leaves,
+            )
+        ])
+        for i in range(n)
+    ]
+    return tm.tree_stack(deltas)
+
+
 def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0,
                eval_mode: str = "overlay", clients: "int | None" = None) -> dict:
     import jax
@@ -104,15 +126,7 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     # full_delta: deltas over the WHOLE base tree (the reference's complete
     # state-dict aggregation, utils.py:735-749) instead of the LoRA overlay
     delta_root = base if cfg.get("full_delta") else lora0
-    leaves, treedef = jax.tree.flatten(delta_root)
-    deltas = [
-        treedef.unflatten([
-            0.02 * jax.random.normal(k, l.shape)
-            for k, l in zip(jax.random.split(jax.random.key(seed + 10 + i), len(leaves)), leaves)
-        ])
-        for i in range(n)
-    ]
-    stacked = tm.tree_stack(deltas)
+    stacked = _make_synthetic_deltas(delta_root, n, seed)
 
     # client data sizes: uniform, or Dirichlet-skewed for config 4
     if cfg.get("dirichlet"):
@@ -179,9 +193,24 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         )
 
         def eval_fn(W):
-            return backend.evaluate(
-                {}, mat_cast(base, stacked, W), data, dataset_size=val_size
-            )
+            # slice the materialization like merged mode does: each
+            # coalition here is a COMPLETE compute-dtype model tree
+            # (~172MB for ViT-B bf16), so a wide W — e.g. the exact
+            # estimator's full powerset at --clients 8 (255 coalitions,
+            # ~44GB) — must never materialize in one mat_cast call; the
+            # chunk cap above bounds only the backend's EVAL chunking
+            C = len(W)
+            if not chunk or C <= chunk:
+                return backend.evaluate(
+                    {}, mat_cast(base, stacked, W), data, dataset_size=val_size
+                )
+            return np.concatenate([
+                backend.evaluate(
+                    {}, mat_cast(base, stacked, W[s : s + chunk]), data,
+                    dataset_size=val_size,
+                )
+                for s in range(0, C, chunk)
+            ], axis=0)
 
     elif eval_mode == "merged":
         # the drivers' default execution (model.eval_mode="merged"): LoRA
@@ -308,15 +337,7 @@ def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size) -
         shapley_monte_carlo,
     )
 
-    leaves, treedef = jax.tree.flatten(lora0)
-    deltas = [
-        treedef.unflatten([
-            0.02 * jax.random.normal(k, l.shape)
-            for k, l in zip(jax.random.split(jax.random.key(seed + 10 + i), len(leaves)), leaves)
-        ])
-        for i in range(n)
-    ]
-    stacked = tm.tree_stack(deltas)
+    stacked = _make_synthetic_deltas(lora0, n, seed)
     chunk = ev.suggest_coalition_chunk(spec.seq_len, spec.hidden, batch)
     mat = jax.jit(tm.materialize_coalitions)
     backend = make_eval_backend(

@@ -78,8 +78,13 @@ def _try_torchvision(name: str, data_dir: str):
 
         xs, ys = [], []
         for img, y in tv:
-            arr = np.asarray(img, dtype=np.float32)
-            if arr.max() > 1.5:
+            raw = np.asarray(img)
+            arr = raw.astype(np.float32)
+            # scale by DTYPE, not by value: a dark uint8 image (max 0 or 1
+            # — all-black SVHN crops, sparse medical frames) must still be
+            # divided by 255 or it enters training up to 255x brighter
+            # than its correctly scaled neighbors
+            if raw.dtype == np.uint8:
                 arr = arr / 255.0
             if arr.ndim == 2:
                 arr = arr[..., None]
@@ -173,7 +178,21 @@ def _tabular(name: str, data_dir: str, synthetic_ok: bool, seed: int):
     n_features = 12 if name == "compas" else 14
     csv = os.path.join(data_dir or "", f"{name}.csv")
     if os.path.exists(csv):
-        raw = np.genfromtxt(csv, delimiter=",", skip_header=1)
+        raw = np.atleast_2d(np.genfromtxt(csv, delimiter=",", skip_header=1))
+        if raw.shape[1] < 3:
+            raise ValueError(
+                f"{csv}: expected >= 3 numeric columns "
+                "(features..., group, label)"
+            )
+        if not np.isfinite(raw).all():
+            # genfromtxt turns non-numeric cells into NaN — a raw adult.csv
+            # with string categoricals would otherwise train on all-NaN
+            # features with no error
+            raise ValueError(
+                f"{csv} contains non-numeric/missing cells; the loader "
+                "expects a fully numeric preprocessed CSV "
+                "(features..., group, label)"
+            )
         X = raw[:, :-2].astype(np.float32)
         group = raw[:, -2].astype(np.int32)
         y = raw[:, -1].astype(np.int32)

@@ -197,17 +197,30 @@ def save_utility_table(
 
 def load_utility_table(path: str):
     """Load a persisted table -> (dict, stored_fingerprint_or_None);
-    (empty dict, None) if the file doesn't exist."""
+    (empty dict, None) if the file doesn't exist OR doesn't parse. A
+    corrupt table (transient shared-disk fault — the same in-scope failure
+    client checkpoints get ``on_error='skip'`` for) must read as "no
+    table" and cost one re-evaluation, not kill a restarted service at
+    ingest time."""
     if not os.path.exists(path):
         return {}, None
     out: Dict[FrozenSet[int], List[float]] = {}
     fp = None
-    with np.load(path) as z:
-        for name in z.files:
-            if name == _FINGERPRINT_KEY:
-                fp = str(z[name])
-                continue
-            out[_str_to_key(name)] = [float(v) for v in z[name]]
+    try:
+        with np.load(path) as z:
+            for name in z.files:
+                if name == _FINGERPRINT_KEY:
+                    fp = str(z[name])
+                    continue
+                out[_str_to_key(name)] = [float(v) for v in z[name]]
+    except Exception as e:  # BadZipFile / ValueError / OSError / key parse
+        from shapley_vit_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            f"utility table {path} is unreadable ({e!r}); "
+            "treating as absent — coalitions will re-evaluate"
+        )
+        return {}, None
     return out, fp
 
 
@@ -224,10 +237,14 @@ def resume_game(game, path: str, fingerprint: Optional[str] = None) -> int:
     table, stored = load_utility_table(path)
     if fingerprint is not None and stored is not None and stored != fingerprint:
         return 0
+    restored = 0
     for key, vals in table.items():
         if key not in game.utility:
             game.utility[key] = list(vals)
-    return len(table)
+            restored += 1
+    # count what was actually INJECTED, not len(table): entries the game
+    # already memoized are skipped, and the drivers log this number
+    return restored
 
 
 def checkpointed_game(
@@ -260,11 +277,18 @@ def checkpointed_game(
 
     def precompute(coalitions):
         todo = game.pending(coalitions)
+        saved_at = counter["n"]
         for i in range(0, len(todo), max(1, block)):
             orig_precompute(todo[i : i + max(1, block)])
             counter["n"] += 1
             if save and counter["n"] % every == 0:
                 save_utility_table(path, game.utility, fingerprint=fingerprint)
+                saved_at = counter["n"]
+        # flush the tail: with every > 1 the modulo alone can leave up to
+        # (every-1) final blocks unpersisted AFTER the call completes,
+        # breaking the "a kill loses at most block evals" contract
+        if save and counter["n"] != saved_at:
+            save_utility_table(path, game.utility, fingerprint=fingerprint)
 
     game.precompute = precompute
     return game

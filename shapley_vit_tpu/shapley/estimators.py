@@ -209,6 +209,11 @@ def shapley_monte_carlo(
     rng = rng or np.random.default_rng()
     n = game.n
     idxs = np.array(game.selected_clients)
+    if m < 1:
+        # fail here with the real cause, not a ZeroDivisionError deep in
+        # the scoring loop (callers computing m from a budget split can
+        # round to 0)
+        raise ValueError(f"shapley_monte_carlo needs m >= 1, got {m}")
 
     # phase 1: draw all permutations up front
     if antithetic:
@@ -772,6 +777,47 @@ def shapley_kernel(
     return _merge_with_default(game, sv), _merge_with_default(game, se)
 
 
+def _score_iid_marginal_draws(game, selected, draws, m, return_se):
+    """Shared MC scoring tail for semivalues whose estimate is a plain
+    mean of ``m`` iid marginal draws per client (:func:`shapley_beta` and
+    :func:`banzhaf_value` — their samplers already bake the semivalue's
+    weighting into the draw distribution).
+
+    ``draws`` is a list of ``(client i, subset S of others)`` in ANY order
+    — the SE bookkeeping indexes by an explicit per-client counter, not by
+    draw position (the old per-copy ``k % m`` indexing was only correct
+    because both samplers happened to emit draws client-major; an edit to
+    one loop structure would have silently mis-assigned marginals to the
+    wrong client's SE rows). One batched ``game.precompute`` covers every
+    distinct coalition; SV = mean marginal, SE = sample std / √m."""
+    n = game.n
+    game.precompute(
+        [selected[list(S)] for _, S in draws]
+        + [selected[list(S) + [i]] for i, S in draws]
+    )
+    sv = [np.zeros(n) for _ in range(game.utility_dim)]
+    draws_arr = np.empty((n, m, game.utility_dim))  # per-client iid marginals
+    seen = [0] * n
+    for i, S in draws:
+        u_s = game.eval_utility(selected[list(S)])
+        u_si = game.eval_utility(selected[list(S) + [i]])
+        k_i = seen[i]
+        seen[i] += 1
+        for d in range(game.utility_dim):
+            delta = u_si[d] - u_s[d]
+            sv[d][i] += delta / m
+            draws_arr[i, k_i, d] = delta
+    if not return_se:
+        return _merge_with_default(game, sv)
+    se_arr = (
+        draws_arr.std(axis=1, ddof=1) / np.sqrt(m)
+        if m >= 2
+        else np.zeros((n, game.utility_dim))
+    )
+    se = [se_arr[:, d].copy() for d in range(game.utility_dim)]
+    return _merge_with_default(game, sv), _merge_with_default(game, se)
+
+
 def shapley_beta(
     game: Game,
     alpha: float = 1.0,
@@ -804,7 +850,10 @@ def shapley_beta(
     mass already matches the estimand's weighting), so the SE is the
     per-client sample std / √m — analytic, no extra evaluations, same house
     contract as the other estimators (measured 2σ coverage:
-    tools/sample_efficiency.py). Enumeration mode is exact → SE ≡ 0."""
+    tools/sample_efficiency.py). Enumeration mode is exact → SE ≡ 0.
+    Scoring shares :func:`_score_iid_marginal_draws` with
+    :func:`banzhaf_value` (the two MC modes differ only in how draws are
+    sampled)."""
     from math import lgamma
 
     rng = rng or np.random.default_rng()
@@ -844,7 +893,10 @@ def shapley_beta(
             return _merge_with_default(game, sv), game.default_shapley_value
         return _merge_with_default(game, sv)
 
-    # Monte-Carlo: position ~ weight mass, subset uniform at that size
+    # Monte-Carlo: position ~ weight mass, subset uniform at that size.
+    # The position mass already matches the estimand's weighting (sampled
+    # ∝ w·counts, target weight w per subset), so each sample contributes
+    # its raw marginal / m — the shared iid-draw scorer applies.
     pos_p = w * counts
     pos_p = pos_p / pos_p.sum()
     draws = []  # (client i, subset S of others)
@@ -854,29 +906,7 @@ def shapley_beta(
             j = int(rng.choice(n, p=pos_p)) + 1
             S = tuple(sorted(rng.choice(others, size=j - 1, replace=False)))
             draws.append((i, S))
-    game.precompute(
-        [selected[list(S)] for _, S in draws]
-        + [selected[list(S) + [i]] for i, S in draws]
-    )
-    draws_arr = np.empty((n, m, game.utility_dim))  # per-client iid marginals
-    for k, (i, S) in enumerate(draws):
-        u_s = game.eval_utility(selected[list(S)])
-        u_si = game.eval_utility(selected[list(S) + [i]])
-        for d in range(game.utility_dim):
-            # importance weight: sampled ∝ w·counts, target weight w per
-            # subset ⇒ each sample contributes its marginal / m (the
-            # position mass already matches the estimand's weighting)
-            sv[d][i] += (u_si[d] - u_s[d]) / m
-            draws_arr[i, k % m, d] = u_si[d] - u_s[d]
-    if not return_se:
-        return _merge_with_default(game, sv)
-    se_arr = (
-        draws_arr.std(axis=1, ddof=1) / np.sqrt(m)
-        if m >= 2
-        else np.zeros((n, game.utility_dim))
-    )
-    se = [se_arr[:, d].copy() for d in range(game.utility_dim)]
-    return _merge_with_default(game, sv), _merge_with_default(game, se)
+    return _score_iid_marginal_draws(game, selected, draws, m, return_se)
 
 
 def banzhaf_value(
@@ -923,26 +953,7 @@ def banzhaf_value(
         for _ in range(m):
             mask = rng.random(n - 1) < 0.5
             draws.append((i, tuple(np.array(others)[mask])))
-    game.precompute(
-        [selected[list(S)] for _, S in draws]
-        + [selected[list(S) + [i]] for i, S in draws]
-    )
-    draws_arr = np.empty((n, m, game.utility_dim))  # per-client iid marginals
-    for k, (i, S) in enumerate(draws):
-        u_s = game.eval_utility(selected[list(S)])
-        u_si = game.eval_utility(selected[list(S) + [i]])
-        for d in range(game.utility_dim):
-            sv[d][i] += (u_si[d] - u_s[d]) / m
-            draws_arr[i, k % m, d] = u_si[d] - u_s[d]
-    if not return_se:
-        return _merge_with_default(game, sv)
-    se_arr = (
-        draws_arr.std(axis=1, ddof=1) / np.sqrt(m)
-        if m >= 2
-        else np.zeros((n, game.utility_dim))
-    )
-    se = [se_arr[:, d].copy() for d in range(game.utility_dim)]
-    return _merge_with_default(game, sv), _merge_with_default(game, se)
+    return _score_iid_marginal_draws(game, selected, draws, m, return_se)
 
 
 def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
@@ -967,7 +978,9 @@ def run_configured_comp_contrib(game: Game, shapley_cfg, rng, logger=None):
         (logger.info if logger is not None else print)(msg)
         return sv, se
     return call_shapley_computation_method(
-        {}, game, logger, rng=rng, stratify=shapley_cfg.cc_stratify, return_se=True
+        {}, game, logger, rng=rng, stratify=shapley_cfg.cc_stratify,
+        return_se=True,
+        samples_per_client=getattr(shapley_cfg, "samples_per_client", 50),
     )
 
 
@@ -982,16 +995,20 @@ def call_shapley_computation_method(
     rng: Optional[np.random.Generator] = None,
     stratify: str = "uniform",
     return_se: bool = False,
+    samples_per_client: int = 50,
 ):
-    """The live-path entry: method pinned to comp_contrib with m = 50·n
-    (utils_shapley.py:13-17); logs per-dim SV sums as the efficiency-axiom
-    sanity print (utils_shapley.py:50). ``stratify`` selects the
-    comp-contrib split-point allocation (see :func:`shapley_comp_contrib`;
+    """The live-path entry: method pinned to comp_contrib (the reference
+    itself overrides whatever was configured, utils_shapley.py:13-17) with
+    ``m = samples_per_client · n`` (its hardcoded 50 is the default — the
+    knob must actually set the budget, not just bound the adaptive mode);
+    logs per-dim SV sums as the efficiency-axiom sanity print
+    (utils_shapley.py:50). ``stratify`` selects the comp-contrib
+    split-point allocation (see :func:`shapley_comp_contrib`;
     ``cfg.shapley.cc_stratify`` in the drivers). Standard errors are always
     logged; ``return_se=True`` additionally returns them as ``(sv, se)``."""
     if isinstance(args, dict):
         args["approximation_method"] = "comp_contrib"
-    m = 50 * game.n
+    m = samples_per_client * game.n
     shapley_value, se = shapley_comp_contrib(
         game, m, rng=rng, stratify=stratify, return_se=True
     )

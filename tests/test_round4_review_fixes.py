@@ -155,3 +155,106 @@ def test_sv_trajectory_includes_late_clients(tmp_path):
     p = str(tmp_path / "sv_rounds.png")
     report.plot_shapley_rounds(per_round, p)
     assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_samples_per_client_sets_fixed_budget(monkeypatch):
+    """cfg.shapley.samples_per_client must set m on the fixed-budget live
+    path (previously it only bounded the adaptive mode — the knob was a
+    silent no-op with target_se=0)."""
+    from types import SimpleNamespace
+
+    from shapley_vit_tpu.shapley import estimators as est
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    seen = {}
+    real = est.shapley_comp_contrib
+
+    def spy(game, m, **kw):
+        seen["m"] = m
+        return real(game, m, **kw)
+
+    monkeypatch.setattr(est, "shapley_comp_contrib", spy)
+    values = np.array([[1.0, 0.0], [2.0, 0.5], [3.0, 1.0]])
+    game = TabularGame(additive_table(values), n_all=3)
+    cfg = SimpleNamespace(
+        target_se=0.0, cc_stratify="uniform", samples_per_client=7
+    )
+    est.run_configured_comp_contrib(
+        game, cfg, rng=np.random.default_rng(0)
+    )
+    assert seen["m"] == 7 * 3
+
+
+def test_monte_carlo_m_zero_raises_cleanly():
+    from shapley_vit_tpu.shapley.estimators import shapley_monte_carlo
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    game = TabularGame(
+        additive_table(np.array([[1.0, 0.0], [2.0, 0.5]])), n_all=2
+    )
+    with pytest.raises(ValueError, match="m >= 1"):
+        shapley_monte_carlo(game, m=0)
+
+
+def test_corrupt_utility_table_reads_as_absent(tmp_path):
+    """A corrupt persisted table (shared-disk fault) must cost one
+    re-evaluation, not kill the restarted service at ingest."""
+    from shapley_vit_tpu.fl import checkpoint as ckpt
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    p = str(tmp_path / "utility_table.npz")
+    with open(p, "wb") as f:
+        f.write(b"this is not a zip file at all" * 10)
+    table, fp = ckpt.load_utility_table(p)
+    assert table == {} and fp is None
+    game = TabularGame(
+        additive_table(np.array([[1.0, 0.0], [2.0, 0.5]])), n_all=2
+    )
+    assert ckpt.resume_game(game, p) == 0
+
+
+def test_resume_count_is_actual_injections(tmp_path):
+    from shapley_vit_tpu.fl import checkpoint as ckpt
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    values = np.array([[1.0, 0.0], [2.0, 0.5]])
+    g1 = TabularGame(additive_table(values), n_all=2)
+    g1.precompute([[0], [1], [0, 1]])
+    p = str(tmp_path / "t.npz")
+    ckpt.save_utility_table(p, g1.utility)
+
+    g2 = TabularGame(additive_table(values), n_all=2)
+    g2.precompute([[0]])  # one coalition already memoized
+    pre_seeded = len(g2.utility)
+    restored = ckpt.resume_game(g2, p)
+    # counted = only entries actually injected, not len(table)
+    assert restored == len(g1.utility) - pre_seeded
+
+
+def test_checkpointed_game_flushes_tail(tmp_path):
+    """every > 1 must still persist the final blocks once the precompute
+    call completes ('a kill loses at most block evals')."""
+    from shapley_vit_tpu.fl import checkpoint as ckpt
+    from shapley_vit_tpu.shapley.game import TabularGame, additive_table
+
+    values = np.array([[1.0, 0.0], [2.0, 0.5], [3.0, 1.0]])
+    game = TabularGame(additive_table(values), n_all=3)
+    p = str(tmp_path / "t.npz")
+    wrapped = ckpt.checkpointed_game(game, p, every=3, block=2)
+    coalitions = [[0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2]]
+    wrapped.precompute(coalitions)  # 4 blocks -> modulo alone saves once
+    table, _ = ckpt.load_utility_table(p)
+    assert len(table) == len(coalitions)  # tail flushed
+
+
+def test_tabular_csv_rejects_non_numeric(tmp_path):
+    from shapley_vit_tpu.data.registry import get_dataset
+
+    p = tmp_path / "compas.csv"
+    p.write_text(
+        "f1,f2,group,label\n"
+        "1.0,State-gov,0,1\n"
+        "2.0,3.0,1,0\n"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        get_dataset("compas", data_dir=str(tmp_path), synthetic_ok=False)
