@@ -188,7 +188,12 @@ def init_lora(key: jax.Array, spec: ViTSpec, classifier_from: Optional[PyTree] =
     ka, kb = jax.random.split(key)
 
     def kaiming_uniform(k, shape, fan_in):
-        bound = jnp.sqrt(6.0 / fan_in)
+        # peft's exact bound: kaiming_uniform_(a=sqrt(5)) on A[r, in] is
+        # gain·sqrt(3/fan_in) with gain = sqrt(2/(1+5)) ⇒ sqrt(1/fan_in).
+        # (The generic a=0 kaiming bound sqrt(6/fan_in) is √6≈2.45× larger —
+        # B=0 hides it at inference, but training-from-init gradient scales
+        # through the LoRA path would deviate from the reference.)
+        bound = jnp.sqrt(1.0 / fan_in)
         return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
 
     lora = {
@@ -267,6 +272,20 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
             y = y + (x @ a) @ b * jnp.asarray(scaling, x.dtype)
         return y
 
+    def split_heads(y):
+        return y.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+
+    def einsum_ctx(q, k, v):
+        # the ONE XLA attention implementation ([B,h,N,hd] in/out): every
+        # non-pallas path — including the pallas2 fallback when the kernel
+        # is gated off — must share these numerics (f32 softmax, compute-
+        # dtype scaling), not keep a drifting copy
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
+            jnp.sqrt(jnp.float32(hd)), x.dtype
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
     if spec.attention_impl == "pallas2":
         # packed-layout kernel: no [B,H,N,D] transposes on either side
         from shapley_vit_tpu.ops.attention import (
@@ -283,31 +302,20 @@ def _attention(x, attn_p, lora_p, spec: ViTSpec):
                 qp, kp, vp, heads=h, interpret=pallas_interpret()
             )
         else:
-            q = qp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-            k = kp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-            v = vp.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
-                jnp.sqrt(jnp.float32(hd)), x.dtype
-            )
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            ctx = einsum_ctx(split_heads(qp), split_heads(kp), split_heads(vp))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
         return _dense(ctx, attn_p["out"]["kernel"], attn_p["out"]["bias"], spec, "out")
 
-    q = proj(attn_p["q"], "q").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-    k = proj(attn_p["k"], "k").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-    v = proj(attn_p["v"], "v").reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    q = split_heads(proj(attn_p["q"], "q"))
+    k = split_heads(proj(attn_p["k"], "k"))
+    v = split_heads(proj(attn_p["v"], "v"))
 
     if spec.attention_impl == "pallas":
         from shapley_vit_tpu.ops.attention import fused_attention
 
         ctx = fused_attention(q, k, v)
     else:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.asarray(
-            jnp.sqrt(jnp.float32(hd)), x.dtype
-        )
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = einsum_ctx(q, k, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
     return _dense(ctx, attn_p["out"]["kernel"], attn_p["out"]["bias"], spec, "out")
 

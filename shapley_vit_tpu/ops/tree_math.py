@@ -66,14 +66,16 @@ def tree_param_difference(a: PyTree, b: PyTree) -> float:
 
 
 def tree_allclose(a: PyTree, b: PyTree, atol: float = 1e-6, rtol: float = 1e-5) -> bool:
-    """Equality probe (reference ``compare_model_param``, utils.py:825-844)."""
-    leaves_a = jax.tree.leaves(a)
-    leaves_b = jax.tree.leaves(b)
-    if len(leaves_a) != len(leaves_b):
+    """Equality probe (reference ``compare_model_param``, utils.py:825-844).
+
+    Structure counts: two trees with the same leaf SEQUENCE but different
+    shapes ({'a': x, 'b': y} vs [x, y], or renamed keys) are different
+    checkpoints and must not compare equal."""
+    if jax.tree.structure(a) != jax.tree.structure(b):
         return False
     return all(
         np.allclose(np.asarray(x), np.asarray(y), atol=atol, rtol=rtol)
-        for x, y in zip(leaves_a, leaves_b)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
     )
 
 

@@ -94,7 +94,11 @@ class ShardedBatches(list):
     array — which spans non-addressable devices in multi-process runs,
     where ``np.asarray`` would raise."""
 
-    real_examples: float = 0.0
+    # annotation only, NO class-level default: a hand-built instance that
+    # never set the count must read as "count unknown" (getattr -> None ->
+    # the evaluator falls back to counting), not as 0.0 examples — which
+    # would silently normalize metrics to inf/nan
+    real_examples: float
 
 
 def shard_batches(mesh: Mesh, batches) -> ShardedBatches:
@@ -145,6 +149,32 @@ def make_sharded_coalition_evaluator(
     """
     n_cshards = mesh.shape[COALITION_AXIS]
     coalition_sharding = NamedSharding(mesh, P(COALITION_AXIS))
+    if coalition_chunk:
+        # honor the memory-derived cap UNDER padding: a chunk that is not
+        # an axis multiple gets padded up past the cap inside run_chunk
+        # (chunk 12 on an 8-way coalition axis would evaluate 16 resident
+        # coalition trees — 33% over what suggest_coalition_chunk sized);
+        # round the chunk DOWN to the axis multiple instead (floor: one
+        # coalition per shard — the mesh cannot go below that)
+        coalition_chunk = max(
+            n_cshards, (coalition_chunk // n_cshards) * n_cshards
+        )
+
+    # one-slot identity cache for the replicated shared tree: the drivers
+    # pass the SAME frozen base tree every round, and re-broadcasting it
+    # (172MB bf16 ViT-B -> every device) on each evaluate() call would be
+    # several full-tree transfers per serve round for nothing (count
+    # DISPATCHES and TRANSFERS — BENCH_NOTES). The strong ref to the keying
+    # object makes id-reuse-after-gc impossible; a different tree simply
+    # replaces the slot.
+    _rep = {"obj": None, "rep": None}
+
+    def _replicated(shared: PyTree) -> PyTree:
+        if _rep["obj"] is shared:
+            return _rep["rep"]
+        rep = put_replicated(mesh, shared)
+        _rep["obj"], _rep["rep"] = shared, rep
+        return rep
 
     vstep = jax.vmap(
         lambda s, p, x, y, w: masked_eval_step_metrics(forward_fn(s, p, x), y, w),
@@ -165,7 +195,7 @@ def make_sharded_coalition_evaluator(
         batches,
         dataset_size: Optional[int] = None,
     ) -> np.ndarray:
-        shared_d = put_replicated(mesh, shared)
+        shared_d = _replicated(shared)
         C = jax.tree.leaves(stacked_varying)[0].shape[0]
         if callable(batches):
             batches = batches()
@@ -183,7 +213,7 @@ def make_sharded_coalition_evaluator(
         if seen is None:
             seen = 0.0
             for b in batches:
-                if len(b) == 3:
+                if len(b) == 3 and b[2] is not None:
                     prepped.append(b)
                     if dataset_size is not None:
                         continue
@@ -198,6 +228,9 @@ def make_sharded_coalition_evaluator(
                         )
                     seen += float(np.asarray(b[2]).sum())
                 else:
+                    # pairs AND (images, labels, None) triples — the shape
+                    # shard_batches accepts must not crash here either
+                    # (_prep_batch defaults a None weights to ones)
                     if dataset_size is None:
                         seen += float(len(b[1]))
                     prepped.append(_prep_batch(mesh, *b))

@@ -444,3 +444,87 @@ def test_coalition_residency_accounts_merged_fold():
     with pytest.raises(ValueError):
         coalition_residency_bytes(lora, eval_mode="merged")  # spec required
     assert coalition_residency_bytes(None) is None
+
+
+def test_sharded_evaluator_replicates_base_once(setup):
+    """The frozen base tree must be broadcast to the mesh ONCE per distinct
+    tree, not on every evaluate() call (172MB/call for ViT-B — round-4
+    review). Identity-keyed: a different tree replaces the cache slot."""
+    import shapley_vit_tpu.parallel.coalition_eval as ce
+
+    s = setup
+    calls = {"n": 0}
+    real = ce.put_replicated
+
+    def counting(mesh, tree):
+        calls["n"] += 1
+        return real(mesh, tree)
+
+    old = ce.put_replicated
+    ce.put_replicated = counting
+    try:
+        mesh = pmesh.make_mesh(n_coalition=2)
+        sharded = make_sharded_coalition_evaluator(s["fwd"], mesh)
+        r1 = sharded(s["base"], s["stacked_lora"], s["data"])
+        r2 = sharded(s["base"], s["stacked_lora"], s["data"])
+        assert calls["n"] == 1  # second call hit the identity cache
+        np.testing.assert_allclose(r1, r2, atol=0, rtol=0)
+        # a NEW tree must re-replicate (and produce fresh results)
+        base2 = jax.tree.map(lambda a: a + 0.0, s["base"])
+        sharded(base2, s["stacked_lora"], s["data"])
+        assert calls["n"] == 2
+    finally:
+        ce.put_replicated = old
+
+
+def test_sharded_evaluator_accepts_none_weight_triples(setup):
+    """(images, labels, None) triples — the exact shape shard_batches
+    accepts — must evaluate like pairs, not crash on None weights."""
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=2)
+    sharded = make_sharded_coalition_evaluator(s["fwd"], mesh)
+    triples = [(x, y, None) for x, y in s["data"]]
+    got = sharded(s["base"], s["stacked_lora"], triples)
+    want = sharded(s["base"], s["stacked_lora"], s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+def test_sharded_batches_has_no_zero_default():
+    """A hand-built ShardedBatches with no count set must read as 'count
+    unknown' (None fallback), never as 0.0 examples (inf/nan metrics)."""
+    from shapley_vit_tpu.parallel.coalition_eval import ShardedBatches
+
+    assert getattr(ShardedBatches(), "real_examples", None) is None
+
+
+def test_sharded_chunk_not_an_axis_multiple_stays_correct(setup):
+    """A coalition_chunk that is not a multiple of the coalition axis is
+    rounded DOWN (the memory cap must hold under padding) and results stay
+    identical to unchunked."""
+    s = setup
+    mesh = pmesh.make_mesh(n_coalition=2)
+    plain = make_sharded_coalition_evaluator(s["fwd"], mesh)
+    chunked = make_sharded_coalition_evaluator(s["fwd"], mesh, coalition_chunk=3)
+    got = chunked(s["base"], s["stacked_lora"], s["data"])
+    want = plain(s["base"], s["stacked_lora"], s["data"])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_tree_allclose_checks_structure():
+    x = np.ones(3)
+    assert not tm.tree_allclose({"a": x, "b": x}, [x, x])
+    assert not tm.tree_allclose({"a": x}, {"b": x})
+    assert tm.tree_allclose({"a": x}, {"a": x.copy()})
+
+
+def test_init_lora_uses_peft_bound():
+    """peft's kaiming_uniform_(a=sqrt(5)) bound is sqrt(1/fan_in) — not the
+    generic sqrt(6/fan_in), which is 2.45x larger (round-4 review)."""
+    spec = jvit.make_spec("micro")
+    lora = jvit.init_lora(jax.random.key(0), spec)
+    D = spec.hidden
+    bound = np.sqrt(1.0 / D)
+    for name in ("q", "v"):
+        A = np.asarray(lora["lora"][name]["A"])
+        assert np.abs(A).max() <= bound + 1e-7
+        assert np.abs(A).max() > 0.8 * bound  # actually fills the range

@@ -435,12 +435,19 @@ def test_serve_sharded_matches_single_device(cfg):
 def test_serve_reused_grand_utility_matches_direct_eval(cfg):
     """Round chaining reuses the grand coalition's memoized utility as the
     new global's utility (skipping a validation pass). It must equal a
-    direct evaluation of the exported global overlay."""
+    direct evaluation of the exported global overlay.
+
+    f32 parity mode: the serve memo comes through the MERGED evaluator
+    while the direct eval here uses the overlay path — at the default bf16
+    the two differ by the fold's rounding (~1e-4 on loss, the fast-eval
+    contract's territory, covered by the next test); in f32 the reuse
+    contract itself must hold tightly."""
     import importlib
 
     from shapley_vit_tpu.fl import evaluation as ev_mod
     from shapley_vit_tpu.fl import ingestion as ing
 
+    cfg.model.compute_dtype = "float32"
     start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
     spec, base, init_lora = start_mod.build_model(cfg)
     write_epoch(cfg, spec, init_lora, epoch=0)
@@ -458,7 +465,7 @@ def test_serve_reused_grand_utility_matches_direct_eval(cfg):
         device_batches(valid, cfg.data.eval_batch_size),
         dataset_size=len(valid),
     )
-    np.testing.assert_allclose(records[0]["utility"], [acc, loss], atol=1e-4)
+    np.testing.assert_allclose(records[0]["utility"], [acc, loss], atol=1e-5)
 
 
 def test_serve_merged_matches_overlay_eval_mode(cfg):
