@@ -318,7 +318,10 @@ def serve(
     # every rank's memo identically.
     rank0 = jax.process_index() == 0
 
-    jstack = jax.jit(tm.tree_stack)
+    # deltas arrive as HOST numpy trees (ingestion computes them on the
+    # host); row-gathering the device-resident stack is one jitted program,
+    # so the advance never re-uploads participating deltas
+    gather_rows = jax.jit(lambda s, idx: jax.tree.map(lambda x: x[idx], s))
     # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
     # dispatch each (~3.5 ms through the tunnel ⇒ measured 1.8 s/round) —
     # one jitted program makes the advance itself negligible
@@ -485,12 +488,18 @@ def serve(
         # partial metadata the round uses equal weights (see ingestion)
         num_local_data = ingestion.resolve_data_sizes(sizes, selection, logger.info)
         with timer.span("stack_deltas"):
-            # one jitted program: an unjitted tree_stack dispatches per leaf
-            # (~50 small ops ≈ 0.2 s through the tunnel — same lesson as the
-            # overlay advance, BENCH_NOTES round 2)
-            stacked = jstack(
-                [d if d is not None else tm.tree_zeros_like(current_overlay)
-                 for d in deltas]
+            # stack on the HOST, then upload the whole [n, ...] tree in ONE
+            # batched device_put: n_leaves large transfers instead of
+            # n_clients × n_leaves small ones (through the tunnel, transfer
+            # count beats transfer volume — BENCH_NOTES rounds 2 and 4).
+            # Missing clients get host zero rows (any(selection) held above,
+            # so at least one real delta exists to shape them).
+            proto = next(d for d in deltas if d is not None)
+            zeros = jax.tree.map(np.zeros_like, proto)
+            stacked = jax.device_put(
+                tm.tree_stack_host(
+                    [d if d is not None else zeros for d in deltas]
+                )
             )
         start_overlay = current_overlay
 
@@ -574,11 +583,15 @@ def serve(
         with timer.span("advance_global"):
             if participating:
                 ratio = tm.fedavg_ratio([num_local_data[i] for i in participating])
-                current_overlay = advance(
-                    current_overlay,
-                    jstack([deltas[i] for i in participating]),
-                    ratio,
+                # select participating rows from the device-resident stack
+                # (values identical to restacking the host deltas, with zero
+                # re-upload); full participation skips the gather entirely
+                stacked_sel = (
+                    stacked
+                    if len(participating) == n
+                    else gather_rows(stacked, np.asarray(participating))
                 )
+                current_overlay = advance(current_overlay, stacked_sel, ratio)
                 # the grand coalition's memoized utility IS the new global's:
                 # materialize(overlay, stacked, W_full) with the FedAvg row
                 # equals advance()'s overlay (same ratios, same linear

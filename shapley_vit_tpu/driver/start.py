@@ -290,10 +290,20 @@ def get_initial_shapley_value(
         for cid, acc, loss in local_metrics:
             csv_logger.log(["client_eval", cid, acc, loss])
 
-    # step 6: game + estimator (start.py:172-189)
-    stacked = tm.tree_stack([
-        d if d is not None else tm.tree_zeros_like(init_lora) for d in deltas
-    ])
+    # step 6: game + estimator (start.py:172-189). Deltas are host numpy
+    # trees (ingestion); stack on the host and upload the [n, ...] tree in
+    # one batched device_put (n_leaves transfers, not n·n_leaves — the
+    # serving path's ingest lesson, BENCH_NOTES round 4)
+    import jax
+
+    zeros_host = jax.tree.map(
+        lambda x: np.zeros_like(np.asarray(x)), init_lora
+    )
+    stacked = jax.device_put(
+        tm.tree_stack_host(
+            [d if d is not None else zeros_host for d in deltas]
+        )
+    )
 
     def eval_coalitions_fn(W: np.ndarray) -> np.ndarray:
         return eval_coalitions(init_lora, stacked, W, data, dataset_size=len(valid))

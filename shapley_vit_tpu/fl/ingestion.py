@@ -25,6 +25,7 @@ import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from shapley_vit_tpu.models import convert
@@ -150,10 +151,22 @@ def client_delta(client_lora: PyTree, init_lora: PyTree) -> PyTree:
     """Weight delta vs. the initial global overlay (reference
     ``get_difference_between_network_weights``, utils.py:735-749 — only the
     trainable overlay differs under LoRA fine-tuning, so the delta lives
-    entirely in the overlay tree)."""
-    from shapley_vit_tpu.ops.tree_math import tree_sub
+    entirely in the overlay tree).
 
-    return tree_sub(client_lora, init_lora)
+    Computed on the HOST (numpy): checkpoints load as numpy trees, and a
+    leafwise ``jnp.subtract`` here would cost one device dispatch plus one
+    piecemeal H2D upload per leaf per client (~n_clients × n_leaves small
+    tunnel round-trips — measured as the dominant ingest cost at n=32,
+    BENCH_NOTES round 4). Host subtraction keeps deltas as numpy; the
+    caller uploads the whole stacked ``[n, ...]`` tree in ONE batched
+    ``device_put``. IEEE float32 subtraction is bit-identical either way.
+    Pass a host ``init_lora`` (``jax.device_get`` once per round) — a
+    device-array leaf is pulled back per call otherwise."""
+    return jax.tree.map(
+        lambda a, b: np.subtract(np.asarray(a), np.asarray(b)),
+        client_lora,
+        init_lora,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +382,13 @@ def ingest_clients(
     deltas: List[Optional[PyTree]] = []
     selection: List[bool] = []
     sizes: List[Optional[int]] = []
+    # ONE batched D2H of the baseline overlay per round (a handful of leaves,
+    # ~0.08 s through the tunnel for a full ViT tree — BENCH_NOTES round 2);
+    # every per-client delta below is then pure-host numpy, and the caller
+    # uploads the stacked result in one batched device_put. Without this,
+    # n_clients × n_leaves small subtract dispatches dominated the n=32
+    # ingest span (2.8–4.4 s/round measured, BENCH_NOTES round 4).
+    init_host = jax.device_get(init_lora)
     for p in paths:
         if p is None:
             deltas.append(None)
@@ -387,7 +407,7 @@ def ingest_clients(
             selection.append(False)
             sizes.append(None)
             continue
-        deltas.append(client_delta(lora, init_lora))
+        deltas.append(client_delta(lora, init_host))
         selection.append(True)
         n = meta.get("num_local_data_train")
         sizes.append(int(n) if n is not None else None)

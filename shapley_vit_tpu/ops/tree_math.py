@@ -90,6 +90,22 @@ def tree_stack(trees: Sequence[PyTree]) -> PyTree:
     return jax.tree.map(lambda *leaves: jnp.stack(leaves, axis=0), *trees)
 
 
+def tree_stack_host(trees: Sequence[PyTree]) -> PyTree:
+    """:func:`tree_stack` computed entirely on the host (numpy).
+
+    The serving ingest path loads client checkpoints as numpy trees and
+    computes their deltas on the host; stacking them with numpy and then
+    doing ONE batched ``jax.device_put`` of the ``[n_clients, ...]`` tree
+    replaces n_clients × n_leaves small host→device transfers with
+    n_leaves large ones — through the TPU tunnel, transfers and dispatches
+    dominate (BENCH_NOTES round 2), so the batched upload is the whole win.
+    Device-array leaves are accepted (``np.asarray`` pulls them back), but
+    the intended inputs are host trees."""
+    return jax.tree.map(
+        lambda *leaves: np.stack([np.asarray(l) for l in leaves], axis=0), *trees
+    )
+
+
 def tree_unstack(tree: PyTree) -> list:
     """Inverse of :func:`tree_stack` (host-side convenience)."""
     leaves, treedef = jax.tree.flatten(tree)
