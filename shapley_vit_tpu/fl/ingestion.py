@@ -15,7 +15,10 @@ Redesign (same contract, sound mechanics):
   * checkpoints load as either torch ``.pth.tar`` (reference clients,
     ``ckpt['state_dict']`` with peft naming, start.py:146-151) or our native
     ``.npz`` (peft-style keys), both converted to LoRA pytrees via
-    ``models.convert``.
+    ``models.convert``. ``.pth.tar`` parses through the torch-free
+    RESTRICTED reader (``fl/torch_ckpt.py``) — the server never unpickles
+    arbitrary objects from an untrusted client upload and never imports
+    torch in the serve path.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
+from shapley_vit_tpu.fl import torch_ckpt
 from shapley_vit_tpu.models import convert
 from shapley_vit_tpu.models.vit import ViTSpec
 
@@ -82,14 +86,11 @@ def save_lora_checkpoint(
             arrays[_META_PREFIX + k] = np.asarray(v)
         atomic_save_npz(path, arrays)
     else:
-        import torch
-
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        ckpt = {"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}
+        # native torch-zip writer (fl/torch_ckpt.py): loadable by the
+        # reference's torch.load without importing torch here
+        ckpt: Dict[str, Any] = {"state_dict": dict(sd)}
         ckpt.update(meta)
-        torch.save(ckpt, tmp)
-        os.replace(tmp, path)
+        torch_ckpt.write_checkpoint(path, ckpt)
 
 
 # ---------------------------------------------------------------------------
@@ -117,9 +118,20 @@ def _load_raw(
                 else:
                     sd[k] = z[k]
             return sd, meta
-    import torch
+    # torch .pth.tar: the NATIVE restricted reader (fl/torch_ckpt.py) —
+    # a server must not run the full pickle machinery on an untrusted
+    # client upload (torch.load(weights_only=False) is code execution),
+    # and the serve path must stay torch-free (BENCH_NOTES round-4 soak).
+    # UnsafeCheckpointError propagates: an off-allow-list pickle is
+    # hostile, never retried through torch.
+    try:
+        ckpt = torch_ckpt.read_checkpoint(data if data is not None else path)
+    except torch_ckpt.NativeFormatError:
+        # legacy pre-1.6 torch serialization: torch itself, weights-only
+        # (tensors + primitives — still no arbitrary-code unpickling)
+        import torch
 
-    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+        ckpt = torch.load(src, map_location="cpu", weights_only=True)
     meta: Dict[str, Any] = {}
     if isinstance(ckpt, dict):
         meta = {k: ckpt[k] for k in _META_KEYS if k in ckpt}

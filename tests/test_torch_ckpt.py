@@ -1,0 +1,264 @@
+"""Torch-free torch-zip checkpoint reader/writer (fl/torch_ckpt.py).
+
+Contract under test (reference: clients torch.save ViT_epoch_9.pth.tar,
+server torch.loads it — start.py:146-151 / server2.py:68-81):
+  * real torch.save output parses byte-exactly through the native reader
+    (views, storage offsets, 0-d tensors, bf16/f16/int/bool dtypes);
+  * the native writer's output loads through real torch.load AND through
+    the native reader;
+  * a checkpoint whose pickle strays off the tensor allow-list is REJECTED
+    (a server ingesting untrusted client uploads must never execute
+    arbitrary unpicklers — torch.load(weights_only=False) would);
+  * legacy (pre-1.6, non-zip) torch files raise NativeFormatError and
+    ingestion falls back to torch with weights_only=True;
+  * the .pth.tar ingest/save path never imports torch (round-4 soak rule).
+"""
+
+import io
+import os
+import pickle
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+from shapley_vit_tpu.fl import torch_ckpt as tc
+
+
+# ---------------------------------------------------------------------------
+# torch.save -> native read
+# ---------------------------------------------------------------------------
+
+def test_reads_real_torch_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    t = torch.arange(24, dtype=torch.float32).reshape(4, 6)
+    obj = {
+        "state_dict": {
+            "w": t,
+            "wT": t.t(),  # non-contiguous strides
+            "slice": t[1:, 2:],  # nonzero storage offset
+            "h": torch.randn(2, 3).half(),
+            "i64": torch.arange(7),
+            "i32": torch.arange(5, dtype=torch.int32),
+            "u8": torch.arange(9, dtype=torch.uint8),
+            "b": torch.tensor([True, False, True]),
+            "scalar": torch.tensor(3.5),
+        },
+        "num_local_data_train": 123,
+        "note": "hello",
+    }
+    p = str(tmp_path / "ref.pth.tar")
+    torch.save(obj, p)
+    back = tc.read_checkpoint(p)
+    assert back["num_local_data_train"] == 123
+    assert back["note"] == "hello"
+    for k, v in obj["state_dict"].items():
+        got = back["state_dict"][k]
+        assert got.shape == tuple(v.shape), k
+        np.testing.assert_array_equal(got, v.numpy(), err_msg=k)
+    # reads from raw bytes too (the bulk-preload path)
+    with open(p, "rb") as f:
+        again = tc.read_checkpoint(f.read())
+    np.testing.assert_array_equal(again["state_dict"]["w"], t.numpy())
+
+
+def test_reads_torch_bfloat16(tmp_path):
+    torch = pytest.importorskip("torch")
+    import ml_dtypes
+
+    v = torch.randn(3, 5).to(torch.bfloat16)
+    p = str(tmp_path / "bf.pth.tar")
+    torch.save({"x": v}, p)
+    got = tc.read_checkpoint(p)["x"]
+    assert got.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        got.astype(np.float32), v.float().numpy()
+    )
+
+
+# ---------------------------------------------------------------------------
+# native write -> torch.load / native read
+# ---------------------------------------------------------------------------
+
+def _sample_obj():
+    import ml_dtypes
+
+    return {
+        "state_dict": {
+            "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "bf": np.full((2, 2), 1.5, dtype=ml_dtypes.bfloat16),
+            "i64": np.arange(5),
+            "s0": np.array(2.25, np.float32),
+            "F": np.asfortranarray(np.arange(12.0, dtype=np.float32).reshape(3, 4)),
+        },
+        "num_local_data_train": 9,
+        "f": 2.5,
+        "flag": True,
+        "none": None,
+        "lst": [1, 2, "x"],
+        "tup": (1, 2),
+        "big": 2**40,
+        "neg": -5,
+    }
+
+
+def test_native_write_loads_in_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    out = _sample_obj()
+    p = str(tmp_path / "native.pth.tar")
+    tc.write_checkpoint(p, out)
+    # weights_only=True: the file must be loadable WITHOUT the full pickle
+    # machinery — proof the writer emits only the tensor vocabulary
+    lb = torch.load(p, map_location="cpu", weights_only=True)
+    assert lb["num_local_data_train"] == 9
+    assert lb["f"] == 2.5 and lb["flag"] is True and lb["none"] is None
+    assert lb["lst"] == [1, 2, "x"] and lb["tup"] == (1, 2)
+    assert lb["big"] == 2**40 and lb["neg"] == -5
+    sd = lb["state_dict"]
+    np.testing.assert_array_equal(sd["a"].numpy(), out["state_dict"]["a"])
+    np.testing.assert_array_equal(sd["F"].numpy(), out["state_dict"]["F"])
+    np.testing.assert_array_equal(sd["i64"].numpy(), out["state_dict"]["i64"])
+    assert sd["bf"].dtype == torch.bfloat16
+    assert float(sd["bf"].float().mean()) == 1.5
+    assert sd["s0"].shape == () and float(sd["s0"]) == 2.25
+
+
+def test_native_roundtrip_without_torch(tmp_path):
+    out = _sample_obj()
+    p = str(tmp_path / "native.pth.tar")
+    tc.write_checkpoint(p, out)
+    back = tc.read_checkpoint(p)
+    assert back["num_local_data_train"] == 9
+    assert back["tup"] == (1, 2)
+    for k, v in out["state_dict"].items():
+        got = back["state_dict"][k]
+        assert got.shape == v.shape and got.dtype == v.dtype, k
+        np.testing.assert_array_equal(
+            got.astype(np.float64), np.asarray(v, dtype=np.float64), err_msg=k
+        )
+    assert not os.path.exists(p + ".tmp")  # atomic rename
+
+
+def test_writer_rejects_unsupported_types(tmp_path):
+    with pytest.raises(TypeError, match="cannot serialize"):
+        tc.write_checkpoint(str(tmp_path / "x.pth.tar"), {"bad": object()})
+
+
+# ---------------------------------------------------------------------------
+# security: restricted unpickling
+# ---------------------------------------------------------------------------
+
+def test_malicious_pickle_rejected(tmp_path):
+    """GLOBAL os.system in data.pkl — torch.load(weights_only=False) would
+    execute it; the native reader must refuse before any side effect."""
+    marker = str(tmp_path / "pwned")
+    payload = (
+        b"\x80\x02cos\nsystem\n"
+        + b"X" + len(f"touch {marker}".encode()).to_bytes(4, "little")
+        + f"touch {marker}".encode()
+        + b"\x85R."
+    )
+    p = str(tmp_path / "evil.pth.tar")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("evil/data.pkl", payload)
+        zf.writestr("evil/version", b"3\n")
+    with pytest.raises(tc.UnsafeCheckpointError, match="os.'system'"):
+        tc.read_checkpoint(p)
+    assert not os.path.exists(marker)
+
+
+def test_malicious_persistent_id_rejected(tmp_path):
+    class Pers(pickle.Pickler):
+        def persistent_id(self, obj):
+            return "not-a-storage" if obj == "PID" else None
+
+    buf = io.BytesIO()
+    Pers(buf, protocol=2).dump({"x": "PID"})
+    p = str(tmp_path / "pid.pth.tar")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("pid/data.pkl", buf.getvalue())
+        zf.writestr("pid/version", b"3\n")
+    with pytest.raises(tc.UnsafeCheckpointError, match="persistent id"):
+        tc.read_checkpoint(p)
+
+
+def test_truncated_storage_rejected(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "trunc.pth.tar")
+    torch.save({"x": torch.zeros(8)}, p)
+    z = zipfile.ZipFile(p)
+    names = z.namelist()
+    out = str(tmp_path / "cut.pth.tar")
+    with zipfile.ZipFile(out, "w") as zf:
+        for n in names:
+            data = z.read(n)
+            if n.endswith("data/0"):
+                data = data[:5]  # 8 f32 elements need 32 bytes
+            zf.writestr(n, data)
+    with pytest.raises(tc.NativeFormatError, match="bytes"):
+        tc.read_checkpoint(out)
+
+
+# ---------------------------------------------------------------------------
+# legacy format fallback + ingestion wiring
+# ---------------------------------------------------------------------------
+
+def test_legacy_format_raises_native_error(tmp_path):
+    p = str(tmp_path / "legacy.pth.tar")
+    with open(p, "wb") as f:
+        f.write(b"\x80\x02}q\x00.")  # a bare pickle, not a zip
+    with pytest.raises(tc.NativeFormatError):
+        tc.read_checkpoint(p)
+
+
+def test_ingestion_falls_back_to_torch_for_legacy(tmp_path):
+    torch = pytest.importorskip("torch")
+    from shapley_vit_tpu.fl import ingestion
+
+    sd = {"lin.weight": torch.arange(4, dtype=torch.float32).reshape(2, 2)}
+    p = str(tmp_path / "legacy.pth.tar")
+    torch.save(
+        {"state_dict": sd, "num_local_data_train": 11},
+        p,
+        _use_new_zipfile_serialization=False,
+    )
+    got, meta = ingestion._load_raw(p)
+    np.testing.assert_array_equal(got["lin.weight"], sd["lin.weight"].numpy())
+    assert meta["num_local_data_train"] == 11
+
+
+def test_ingest_path_never_imports_torch(tmp_path):
+    """Write AND read a .pth.tar LoRA checkpoint through ingestion in a
+    fresh interpreter; 'torch' must never appear in sys.modules (the
+    round-4 soak rule: no torch in the serve process)."""
+    script = f"""
+import sys, numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from shapley_vit_tpu.fl import ingestion
+from shapley_vit_tpu.models import vit as jvit
+spec = jvit.make_spec("micro", num_classes=4)
+lora = jvit.init_lora(jax.random.key(0), spec)
+path = {str(tmp_path / 'client_1_model' / 'ViT_epoch_9.pth.tar')!r}
+ingestion.save_lora_checkpoint(path, lora, spec, num_local_data_train=7)
+back = ingestion.load_client_lora(path, spec)
+sizes = ingestion.load_checkpoint_metadata(path)
+assert sizes.get("num_local_data_train") == 7, sizes
+la, lb = jax.tree.leaves(lora), jax.tree.leaves(back)
+assert all(np.allclose(a, b, atol=1e-7) for a, b in zip(la, lb))
+assert "torch" not in sys.modules, "torch leaked into the ingest path"
+print("TORCH_FREE_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "TORCH_FREE_OK" in r.stdout
