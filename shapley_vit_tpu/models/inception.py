@@ -394,9 +394,18 @@ def get_net(input_size, block=DenoiseConv, fwd_out=(64, 128, 256, 256, 256),
             with np.load(pretrained_path) as z:
                 sd = {k: z[k] for k in z.files}
         else:
-            import torch
+            # torch zip checkpoints parse torch-free through the restricted
+            # reader; only legacy pre-1.6 files fall back to torch itself
+            from shapley_vit_tpu.fl import torch_ckpt
 
-            sd = torch.load(pretrained_path, map_location="cpu", weights_only=False)
+            try:
+                sd = torch_ckpt.read_checkpoint(pretrained_path)
+            except torch_ckpt.NativeFormatError:
+                import torch
+
+                sd = torch.load(
+                    pretrained_path, map_location="cpu", weights_only=True
+                )
             if isinstance(sd, dict) and "state_dict" in sd:
                 sd = sd["state_dict"]
         rng = rng if rng is not None else jax.random.key(0)

@@ -181,6 +181,30 @@ def test_get_net_pretrained_path(tmp_path):
     assert out[0].shape[-1] == 1001
 
 
+def test_get_net_pretrained_torch_pth(tmp_path):
+    """The reference's actual format: ``inceptionv3_state.pth`` written by
+    torch.save — must load through the torch-free restricted reader
+    (fl/torch_ckpt.py), with no torch import in the loader itself."""
+    torch = pytest.importorskip("torch")
+    net = inc.Net(input_size=(75, 75), fwd_out=(8, 16), num_fwd=(1, 1),
+                  back_out=(8,), num_back=(1,), n=1, num_classes=1001)
+    x = jnp.zeros((1, 75, 75, 3))
+    variables = net.init(jax.random.key(1), x, x, requires_control=False, train=False)
+    rng = np.random.default_rng(7)
+    sd = _reference_style_state_dict(variables, rng)
+    path = str(tmp_path / "inceptionv3_state.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    net2, loaded = inc.get_net(
+        (75, 75), fwd_out=(8, 16), num_fwd=(1, 1), back_out=(8,), num_back=(1,),
+        pretrained_path=path, rng=jax.random.key(1)
+    )
+    np.testing.assert_array_equal(
+        loaded["params"]["net"]["BasicConv2d_0"]["Conv_0"]["kernel"],
+        sd["conv2d_1a.conv.weight"].transpose(2, 3, 1, 0),
+    )
+
+
 def test_paired_net_small():
     net = inc.Net(input_size=(75, 75), fwd_out=(8, 16), num_fwd=(1, 1),
                   back_out=(8,), num_back=(1,), n=1, num_classes=5)
