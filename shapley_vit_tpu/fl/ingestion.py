@@ -126,9 +126,19 @@ def _load_raw(
     # hostile, never retried through torch.
     try:
         ckpt = torch_ckpt.read_checkpoint(data if data is not None else path)
-    except torch_ckpt.NativeFormatError:
-        # legacy pre-1.6 torch serialization: torch itself, weights-only
-        # (tensors + primitives — still no arbitrary-code unpickling)
+    except torch_ckpt.NativeFormatError as e:
+        # Legacy pre-1.6 torch serialization is NOT parsed by default: the
+        # fallback imports torch into the serve process (the round-4 leak
+        # rule) and hands torch's unpickler attacker-chosen bytes — a
+        # client could OPT INTO the weaker path just by writing a non-zip
+        # file. Operators with genuinely old trusted fleets set
+        # SVT_TORCH_LEGACY_CKPT=1 (loads with weights_only=True).
+        if os.environ.get("SVT_TORCH_LEGACY_CKPT", "") != "1":
+            raise torch_ckpt.NativeFormatError(
+                f"{path}: not a torch-zip checkpoint ({e}); legacy pre-1.6 "
+                "torch files are refused on the ingest path unless "
+                "SVT_TORCH_LEGACY_CKPT=1 is set"
+            ) from None
         import torch
 
         ckpt = torch.load(src, map_location="cpu", weights_only=True)

