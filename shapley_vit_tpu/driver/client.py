@@ -61,6 +61,7 @@ def run_client(
     start_epoch: int = 0,
     seed: int = 0,
     lr: Optional[float] = None,
+    ckpt_format: Optional[str] = None,
 ) -> List[str]:
     """Train this client locally and drop per-epoch checkpoints; returns
     the written paths. ``data`` is the client's local (images, labels)
@@ -72,7 +73,13 @@ def run_client(
     flag, given a real consumer). ``lr`` sets the non-DP Adam rate; None
     keeps the 5e-3 default (the reference likewise hardcodes its in-repo
     Adam at lr=0.001 regardless of ``-lr``, start.py:62-66 — ``svt-client
-    -lr ...`` passes it explicitly)."""
+    -lr ...`` passes it explicitly).
+
+    ``ckpt_format``: ``"npz"`` (native, default) or ``"pth.tar"`` —
+    reference torch format via the torch-free writer (fl/torch_ckpt.py),
+    so this client can feed a REFERENCE server (which torch.loads
+    ``ViT_epoch_{e}.pth.tar``, start.py:134-151) with no torch installed.
+    Defaults from ``$SVT_CLIENT_CKPT_FORMAT``."""
     import importlib
 
     import jax
@@ -84,6 +91,12 @@ def run_client(
     start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
 
     cfg = cfg or Config.from_env()
+    fmt = ckpt_format or os.environ.get("SVT_CLIENT_CKPT_FORMAT", "npz")
+    if fmt not in ("npz", "pth.tar"):
+        raise ValueError(
+            f"ckpt_format {fmt!r} not in ('npz', 'pth.tar') "
+            "(set via argument or $SVT_CLIENT_CKPT_FORMAT)"
+        )
     logger = get_logger()
     spec, base, init_lora = start_mod.build_model(cfg)
     fwd = lambda b, l, x: jvit.vit_forward(b, l, x, spec)
@@ -188,7 +201,7 @@ def run_client(
                 key, sub = jax.random.split(key)
                 lora, state, loss = step(base, lora, state, x, y, sub)
         p = os.path.join(
-            root, f"client_{client_id + 1}_model", f"ViT_epoch_{epoch}.npz"
+            root, f"client_{client_id + 1}_model", f"ViT_epoch_{epoch}.{fmt}"
         )
         ingestion.save_lora_checkpoint(p, lora, spec, num_local_data_train=n_local)
         written.append(p)

@@ -354,6 +354,34 @@ def test_client_driver_feeds_serve(tmp_path):
     assert paths[0].endswith("ViT_epoch_1.npz")
 
 
+def test_client_driver_pth_tar_format(tmp_path):
+    """svt-client can feed a REFERENCE server: ckpt_format='pth.tar' writes
+    the torch zip format through the torch-free writer; real torch.load
+    reads it and finds the peft-named LoRA keys plus the size metadata."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from shapley_vit_tpu.config import Config
+    from shapley_vit_tpu.driver.client import run_client
+
+    cfg = Config()
+    cfg.model.model_type = "ViT-micro"
+    cfg.data.synthetic_scale = 0.02
+    cfg.obs.exp_dir = str(tmp_path / "exp")
+    cfg.paths.validation_dataset = str(tmp_path / "none")
+    cfg.paths.local_model_path = str(tmp_path / "local")
+    paths = run_client(
+        cfg, client_id=0, epochs=1, steps_per_epoch=1, ckpt_format="pth.tar"
+    )
+    assert paths[0].endswith("ViT_epoch_0.pth.tar")
+    ckpt = torch.load(paths[0], map_location="cpu", weights_only=True)
+    assert ckpt["num_local_data_train"] > 0
+    assert any("lora_A" in k for k in ckpt["state_dict"])
+
+    with pytest.raises(ValueError, match="ckpt_format"):
+        run_client(cfg, client_id=0, epochs=1, ckpt_format="bogus")
+
+
 def test_client_driver_dp_and_label_flip(tmp_path):
     """The reference's poisoning fixture and --noise-multiplier knob drive
     the client's local optimizer."""
