@@ -309,6 +309,77 @@ def test_negative_numel_rejected(tmp_path):
         tc.read_checkpoint(p)
 
 
+def test_randomized_roundtrip_fuzz(tmp_path):
+    """Seeded structure fuzz: random nested containers of random-dtype
+    arrays round-trip native->native and native->torch bit-exactly."""
+    torch = pytest.importorskip("torch")
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    dtypes = [
+        np.float32, np.float64, np.float16, np.int64, np.int32, np.int16,
+        np.int8, np.uint8, np.bool_, ml_dtypes.bfloat16,
+    ]
+
+    def rand_array():
+        shape = tuple(int(d) for d in rng.integers(0, 5, size=rng.integers(0, 4)))
+        dt = dtypes[rng.integers(len(dtypes))]
+        a = rng.normal(size=shape) * 10
+        if np.dtype(dt) == np.bool_:
+            return a > 0
+        return a.astype(dt)
+
+    def rand_obj(depth):
+        kind = rng.integers(6 if depth < 3 else 4)
+        if kind == 0:
+            return rand_array()
+        if kind == 1:
+            return float(rng.normal())
+        if kind == 2:
+            return int(rng.integers(-(2**40), 2**40))
+        if kind == 3:
+            return ["s", None, bool(rng.integers(2))]
+        if kind == 4:
+            return {f"k{i}": rand_obj(depth + 1) for i in range(rng.integers(1, 4))}
+        return tuple(rand_obj(depth + 1) for _ in range(rng.integers(1, 3)))
+
+    def assert_same(a, b, path="root"):
+        if isinstance(a, np.ndarray):
+            b = b.numpy() if hasattr(b, "numpy") and not isinstance(b, np.ndarray) else b
+            assert tuple(np.shape(b)) == a.shape, path
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float64), np.asarray(b, np.float64), err_msg=path
+            )
+        elif isinstance(a, dict):
+            assert set(a) == set(b), path
+            for k in a:
+                assert_same(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert_same(x, y, f"{path}[{i}]")
+        else:
+            assert a == b, path
+
+    for trial in range(20):
+        obj = {f"t{i}": rand_obj(0) for i in range(3)}
+        p = str(tmp_path / f"fuzz_{trial}.pth.tar")
+        tc.write_checkpoint(p, obj)
+        assert_same(obj, tc.read_checkpoint(p), f"native[{trial}]")
+        lb = torch.load(p, map_location="cpu", weights_only=True)
+        # torch reads bf16 as torch tensors; compare through numpy()/float
+        def to_np(x):
+            if hasattr(x, "numpy"):
+                return x.float().numpy() if x.dtype == torch.bfloat16 else x.numpy()
+            return x
+        assert_same(
+            obj, __import__("jax").tree.map(
+                to_np, lb, is_leaf=lambda v: hasattr(v, "numpy")
+            ),
+            f"torch[{trial}]",
+        )
+
+
 def test_writer_handles_numpy_bool_and_big_endian(tmp_path):
     torch = pytest.importorskip("torch")
     obj = {
