@@ -267,12 +267,12 @@ def serve(
     def prune_tables(new_floor: int) -> None:
         nonlocal prune_floor
         for e in range(prune_floor, new_floor):
-            try:
-                os.remove(
-                    os.path.join(out_dir, f"utility_table_epoch_{e}.npz")
-                )
-            except OSError:
-                pass
+            base = os.path.join(out_dir, f"utility_table_epoch_{e}.npz")
+            for p in (base, base + ".log"):  # append log rides beside it
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         prune_floor = max(prune_floor, new_floor)
 
     if (
@@ -286,8 +286,10 @@ def serve(
         import glob as _glob
         import re as _re
 
-        for p in _glob.glob(os.path.join(out_dir, "utility_table_epoch_*.npz")):
-            m = _re.search(r"utility_table_epoch_(-?\d+)\.npz$", p)
+        for p in _glob.glob(
+            os.path.join(out_dir, "utility_table_epoch_*.npz*")
+        ):
+            m = _re.search(r"utility_table_epoch_(-?\d+)\.npz(\.log)?$", p)
             if m and int(m.group(1)) < prune_floor:
                 try:
                     os.remove(p)
@@ -545,7 +547,7 @@ def serve(
                 table_path = os.path.join(
                     out_dir, f"utility_table_epoch_{epoch}.npz"
                 )
-                if os.path.exists(table_path):
+                if ckpt.utility_table_exists(table_path):
                     restored = ckpt.resume_game(game, table_path, fingerprint=fp)
                     if restored:
                         logger.info(
@@ -576,6 +578,11 @@ def serve(
                     rng=np.random.default_rng(cfg.shapley.seed + epoch),
                     logger=logger,
                 )
+        # completed round -> one self-contained npz (consolidates the
+        # block append-log; no-op on non-writing ranks)
+        flush_table = getattr(game, "flush_table", None)
+        if flush_table is not None:
+            flush_table()
 
         # advance the global overlay by the full-coalition FedAvg and chain
         # previous_utility to the new global's absolute utility

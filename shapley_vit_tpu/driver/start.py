@@ -332,7 +332,7 @@ def get_initial_shapley_value(
             ),
         )
         table_path = os.path.join(cfg.ensure_output_dir(), "utility_table.npz")
-        if os.path.exists(table_path):
+        if ckpt.utility_table_exists(table_path):
             restored = ckpt.resume_game(game, table_path, fingerprint=fp)
             if restored:
                 logger.info(f"resumed {restored} coalition utilities from {table_path}")
@@ -348,6 +348,10 @@ def get_initial_shapley_value(
             shapley_value, _sv_se = run_configured_comp_contrib(
                 game, cfg.shapley, rng=rng, logger=logger
             )
+    # completed round -> one self-contained npz (consolidates the append-log)
+    flush_table = getattr(game, "flush_table", None)
+    if flush_table is not None:
+        flush_table()
     stats = timer.summary()["shapley_round"]
     logger.info(
         f"Shapley round: {stats['total_s']:.2f}s, "

@@ -195,32 +195,147 @@ def save_utility_table(
     atomic_save_npz(path, arrays)
 
 
-def load_utility_table(path: str):
+# Append-only block log riding beside the table: save_utility_table
+# rewrites the WHOLE accumulated table, which made per-block persistence
+# O(blocks × table) — profiled at n=64/m=3200 it was 89% of the host wall
+# (518 block saves re-serializing up to 6k entries each: 1.6M npy writes).
+# checkpointed_game instead APPENDS each block's new entries as one framed
+# record (magic | length | crc32 | npz-bytes) and consolidates into the
+# npz only when the log has grown to the table's size — amortized O(1)
+# per entry, same at-most-one-block crash-loss contract. A torn tail
+# record (crash mid-append) fails the length/CRC check and reads as
+# absent, like every other corrupt-file path here.
+_LOG_SUFFIX = ".log"
+_LOG_MAGIC = b"SVTL"
+
+
+def append_utility_log(
+    path: str,
+    entries: Dict[FrozenSet[int], List[float]],
+    fingerprint: Optional[str] = None,
+) -> None:
+    """Append one block's entries to ``path + '.log'`` (O(block), not
+    O(table)). Each record carries its own fingerprint stamp so replay can
+    reject records from different round inputs."""
+    if not entries:
+        return
+    import io
+    import zlib
+
+    buf = io.BytesIO()
+    arrays = {_key_to_str(k): np.asarray(v) for k, v in entries.items()}
+    if fingerprint is not None:
+        arrays[_FINGERPRINT_KEY] = np.asarray(fingerprint)
+    np.savez(buf, **arrays)
+    payload = buf.getvalue()
+    rec = (
+        _LOG_MAGIC
+        + len(payload).to_bytes(8, "little")
+        + zlib.crc32(payload).to_bytes(4, "little")
+        + payload
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + _LOG_SUFFIX, "ab") as f:
+        f.write(rec)
+
+
+def _read_utility_log(path: str):
+    """Replay ``path + '.log'`` -> list of (entries, fingerprint) records,
+    stopping silently at the first torn/corrupt record (crash tail)."""
+    import io
+    import zlib
+
+    log = path + _LOG_SUFFIX
+    if not os.path.exists(log):
+        return []
+    records = []
+    try:
+        with open(log, "rb") as f:
+            data = f.read()
+    except OSError:
+        return []
+    pos = 0
+    while pos + 16 <= len(data):
+        if data[pos : pos + 4] != _LOG_MAGIC:
+            break
+        length = int.from_bytes(data[pos + 4 : pos + 12], "little")
+        crc = int.from_bytes(data[pos + 12 : pos + 16], "little")
+        payload = data[pos + 16 : pos + 16 + length]
+        if len(payload) < length or zlib.crc32(payload) != crc:
+            break  # torn tail — everything before it is intact
+        try:
+            entries: Dict[FrozenSet[int], List[float]] = {}
+            fp = None
+            with np.load(io.BytesIO(payload)) as z:
+                for name in z.files:
+                    if name == _FINGERPRINT_KEY:
+                        fp = str(z[name])
+                    else:
+                        entries[_str_to_key(name)] = [float(v) for v in z[name]]
+            records.append((entries, fp))
+        except Exception:
+            break
+        pos += 16 + length
+    return records
+
+
+def clear_utility_log(path: str) -> None:
+    try:
+        os.remove(path + _LOG_SUFFIX)
+    except OSError:
+        pass
+
+
+def utility_table_exists(path: str) -> bool:
+    """True when durable table state exists — the consolidated npz OR the
+    append log (a mid-round crash may leave only the latter)."""
+    return os.path.exists(path) or os.path.exists(path + _LOG_SUFFIX)
+
+
+def load_utility_table(path: str, fingerprint: Optional[str] = None):
     """Load a persisted table -> (dict, stored_fingerprint_or_None);
     (empty dict, None) if the file doesn't exist OR doesn't parse. A
     corrupt table (transient shared-disk fault — the same in-scope failure
     client checkpoints get ``on_error='skip'`` for) must read as "no
     table" and cost one re-evaluation, not kill a restarted service at
-    ingest time."""
-    if not os.path.exists(path):
-        return {}, None
+    ingest time.
+
+    Entries from the append log (``path + '.log'``, written by
+    ``checkpointed_game`` between consolidations) are merged in. With
+    ``fingerprint`` given, content stamped with a DIFFERENT digest is
+    dropped piecewise (unstamped content is accepted, matching
+    ``resume_game``'s lenient contract); without it, log records must
+    match the npz's own stamp to merge."""
     out: Dict[FrozenSet[int], List[float]] = {}
     fp = None
-    try:
-        with np.load(path) as z:
-            for name in z.files:
-                if name == _FINGERPRINT_KEY:
-                    fp = str(z[name])
-                    continue
-                out[_str_to_key(name)] = [float(v) for v in z[name]]
-    except Exception as e:  # BadZipFile / ValueError / OSError / key parse
-        from shapley_vit_tpu.utils.logging import get_logger
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                for name in z.files:
+                    if name == _FINGERPRINT_KEY:
+                        fp = str(z[name])
+                        continue
+                    out[_str_to_key(name)] = [float(v) for v in z[name]]
+        except Exception as e:  # BadZipFile / ValueError / OSError / key parse
+            from shapley_vit_tpu.utils.logging import get_logger
 
-        get_logger().warning(
-            f"utility table {path} is unreadable ({e!r}); "
-            "treating as absent — coalitions will re-evaluate"
-        )
-        return {}, None
+            get_logger().warning(
+                f"utility table {path} is unreadable ({e!r}); "
+                "treating as absent — coalitions will re-evaluate"
+            )
+            out, fp = {}, None
+    if fingerprint is not None and fp is not None and fp != fingerprint:
+        out, fp = {}, None  # stale consolidated table: reject wholesale
+    accept_fp = fingerprint if fingerprint is not None else fp
+    for entries, rfp in _read_utility_log(path):
+        if rfp is not None and accept_fp is not None and rfp != accept_fp:
+            continue  # record from different round inputs
+        if rfp is not None and accept_fp is None and fingerprint is None:
+            # unstamped npz (or none) + stamped records: adopt the stamp
+            accept_fp = rfp
+        out.update(entries)
+        if fp is None:
+            fp = rfp
     return out, fp
 
 
@@ -234,9 +349,9 @@ def resume_game(game, path: str, fingerprint: Optional[str] = None) -> int:
     baseline and silently mixing it with fresh evaluations would corrupt the
     round's Shapley values. Unstamped tables (hand-staged, or written by
     older code) are accepted as-is."""
-    table, stored = load_utility_table(path)
+    table, stored = load_utility_table(path, fingerprint=fingerprint)
     if fingerprint is not None and stored is not None and stored != fingerprint:
-        return 0
+        return 0  # unreachable via the filtered load; kept as a guard
     restored = 0
     for key, vals in table.items():
         if key not in game.utility:
@@ -271,24 +386,76 @@ def checkpointed_game(
     table writes: in a multi-process service every rank must issue the
     SAME evaluator-call sequence (the batch psum is a collective — a rank
     that split differently would deadlock the mesh), while only rank 0 may
-    write the shared table file."""
+    write the shared table file.
+
+    Persistence is APPEND-MOSTLY: each saved block appends one O(block)
+    record to ``path + '.log'`` (see ``append_utility_log`` — the previous
+    full-table rewrite per block was O(blocks × table), 89% of the n=64
+    host wall); the consolidated npz is rewritten only when the log has
+    accumulated as many entries as the table holds (amortized O(1) per
+    entry). ``load_utility_table``/``resume_game`` replay the log, so the
+    at-most-one-block crash-loss contract is unchanged."""
     orig_precompute = game.precompute
     counter = {"n": 0}
+    state = {"first_save": True, "log_entries": 0}
+
+    def _consolidate():
+        save_utility_table(path, game.utility, fingerprint=fingerprint)
+        clear_utility_log(path)
+        state["log_entries"] = 0
+
+    def _save_pending(pending_entries):
+        if state["first_save"]:
+            # a pre-existing log (prior crash, or a previous wrapper on the
+            # same path) may hold entries the npz lacks — or stale ones
+            # from different inputs. Fold everything resume_game accepted
+            # (game.utility) into one fresh consolidated npz and start a
+            # clean log; deleting the old log BEFORE a consolidation would
+            # break the crash contract.
+            state["first_save"] = False
+            if os.path.exists(path + _LOG_SUFFIX):
+                _consolidate()
+                pending_entries.clear()
+                return
+        append_utility_log(path, pending_entries, fingerprint=fingerprint)
+        state["log_entries"] += len(pending_entries)
+        pending_entries.clear()
+        if state["log_entries"] >= max(64, len(game.utility) // 2):
+            _consolidate()
+
+    def flush_table():
+        """Consolidate into one self-contained npz (round end: completed
+        epochs keep the historical single-file artifact contract; the log
+        only rides in-flight rounds). O(table), once per round."""
+        if save and game.utility and (
+            state["log_entries"] or os.path.exists(path + _LOG_SUFFIX)
+            or not os.path.exists(path)
+        ):
+            state["first_save"] = False
+            _consolidate()
+
+    game.flush_table = flush_table
 
     def precompute(coalitions):
         todo = game.pending(coalitions)
         saved_at = counter["n"]
+        pending_entries: Dict[FrozenSet[int], List[float]] = {}
         for i in range(0, len(todo), max(1, block)):
+            chunk_keys = [frozenset(c) for c in todo[i : i + max(1, block)]]
             orig_precompute(todo[i : i + max(1, block)])
             counter["n"] += 1
-            if save and counter["n"] % every == 0:
-                save_utility_table(path, game.utility, fingerprint=fingerprint)
-                saved_at = counter["n"]
+            if save:
+                for k in chunk_keys:
+                    if k in game.utility:
+                        pending_entries[k] = game.utility[k]
+                if counter["n"] % every == 0:
+                    _save_pending(pending_entries)
+                    saved_at = counter["n"]
         # flush the tail: with every > 1 the modulo alone can leave up to
         # (every-1) final blocks unpersisted AFTER the call completes,
         # breaking the "a kill loses at most block evals" contract
         if save and counter["n"] != saved_at:
-            save_utility_table(path, game.utility, fingerprint=fingerprint)
+            _save_pending(pending_entries)
 
     game.precompute = precompute
     return game

@@ -45,7 +45,9 @@ def test_resume_game_skips_reevaluation(tmp_path):
     ckpt.checkpointed_game(game1, path)
     sv1 = shapley_exact(game1)
     assert game1.num_evaluations == 7
-    assert os.path.exists(path)
+    # small rounds live in the append log until the consolidation
+    # threshold; either file is durable state
+    assert os.path.exists(path) or os.path.exists(path + ".log")
 
     # fresh game resumed from disk: zero evaluations needed
     game2 = TabularGame(additive_table(values), n_all=3)
@@ -305,6 +307,102 @@ def test_checkpointed_game_persists_per_block(tmp_path):
     assert ckpt.resume_game(game2, path) == 4
     game2.precompute(coalitions)
     assert game2.num_evaluations == 2  # only the lost block re-evaluates
+
+
+def test_utility_log_append_and_replay(tmp_path):
+    """Block records append O(block) and replay through load_utility_table;
+    a torn tail record (crash mid-append) drops silently."""
+    path = str(tmp_path / "u.npz")
+    ckpt.append_utility_log(path, {frozenset({0}): [1.0, 0.0]}, fingerprint="fp")
+    ckpt.append_utility_log(path, {frozenset({1}): [2.0, 0.5]}, fingerprint="fp")
+    table, fp = ckpt.load_utility_table(path, fingerprint="fp")
+    assert table == {frozenset({0}): [1.0, 0.0], frozenset({1}): [2.0, 0.5]}
+    assert fp == "fp"
+
+    # torn tail: truncate the last record mid-payload
+    log = path + ".log"
+    size = os.path.getsize(log)
+    ckpt.append_utility_log(path, {frozenset({2}): [3.0, 1.0]}, fingerprint="fp")
+    with open(log, "r+b") as f:
+        f.truncate(size + 10)
+    table, _ = ckpt.load_utility_table(path, fingerprint="fp")
+    assert frozenset({2}) not in table and len(table) == 2
+
+
+def test_utility_log_rejects_mismatched_fingerprint(tmp_path):
+    path = str(tmp_path / "u.npz")
+    ckpt.append_utility_log(path, {frozenset({0}): [1.0]}, fingerprint="old")
+    ckpt.append_utility_log(path, {frozenset({1}): [2.0]}, fingerprint="new")
+    table, _ = ckpt.load_utility_table(path, fingerprint="new")
+    assert table == {frozenset({1}): [2.0]}
+    # stale consolidated npz + fresh log records: only the fresh survive
+    ckpt.save_utility_table(path, {frozenset({5}): [9.0]}, fingerprint="old")
+    table, _ = ckpt.load_utility_table(path, fingerprint="new")
+    assert table == {frozenset({1}): [2.0]}
+
+
+def test_checkpointed_game_consolidates_amortized(tmp_path):
+    """Per-block persistence must NOT rewrite the whole table each block
+    (profiled: 89% of n=64 host wall): blocks append to the log, and the
+    npz is consolidated only when the log reaches the table's size."""
+    from shapley_vit_tpu.shapley.game import Game
+
+    writes = {"n": 0}
+    orig = ckpt.save_utility_table
+
+    def counting_save(*a, **k):
+        writes["n"] += 1
+        return orig(*a, **k)
+
+    n = 10
+    game = Game(
+        eval_coalitions_fn=lambda W: np.tile(W.sum(1, keepdims=True), (1, 2)),
+        num_local_data=[1.0] * n,
+        client_selection_vector=[True] * n,
+        previous_utility=[0.0, 0.0],
+    )
+    path = str(tmp_path / "u.npz")
+    import unittest.mock as mock
+
+    with mock.patch.object(ckpt, "save_utility_table", counting_save):
+        ckpt.checkpointed_game(game, path, block=2, fingerprint="fp")
+        coalitions = [[i] for i in range(n)] + [[i, (i + 1) % n] for i in range(n)]
+        game.precompute(coalitions)
+    # 10 blocks -> 10 log appends, zero O(table) rewrites below threshold
+    assert writes["n"] == 0
+    assert os.path.exists(path + ".log") and not os.path.exists(path)
+
+    # resume sees every block despite no consolidation
+    game2 = Game(
+        eval_coalitions_fn=lambda W: (_ for _ in ()).throw(AssertionError),
+        num_local_data=[1.0] * n,
+        client_selection_vector=[True] * n,
+        previous_utility=[0.0, 0.0],
+    )
+    assert ckpt.resume_game(game2, path, fingerprint="fp") == len(coalitions)
+
+
+def test_checkpointed_game_consolidates_stale_log_on_first_save(tmp_path):
+    """A pre-existing log (prior crash) folds into one consolidated npz on
+    the wrapper's first save, and the log restarts clean."""
+    from shapley_vit_tpu.shapley.game import Game
+
+    path = str(tmp_path / "u.npz")
+    ckpt.append_utility_log(path, {frozenset({7}): [7.0, 0.0]}, fingerprint="fp")
+
+    game = Game(
+        eval_coalitions_fn=lambda W: np.tile(W.sum(1, keepdims=True), (1, 2)),
+        num_local_data=[1.0] * 8,
+        client_selection_vector=[True] * 8,
+        previous_utility=[0.0, 0.0],
+    )
+    assert ckpt.resume_game(game, path, fingerprint="fp") == 1
+    ckpt.checkpointed_game(game, path, block=2, fingerprint="fp")
+    game.precompute([[0], [1], [2]])
+    table, fp = ckpt.load_utility_table(path, fingerprint="fp")
+    # npz now holds the resumed entry + all new ones; nothing lost
+    assert frozenset({7}) in table and len(table) == 4
+    assert os.path.exists(path)
 
 
 def test_fingerprint_files_sensitivity(tmp_path):
