@@ -554,9 +554,14 @@ def serve(
                             f"resumed {restored} coalition utilities for epoch {epoch}"
                         )
                     else:
+                        # zero restores covers BOTH a fingerprint mismatch
+                        # (inputs changed) and an empty/torn log left by a
+                        # crash before its first record — don't send the
+                        # operator chasing a staleness event that never was
                         logger.info(
-                            f"ignoring stale utility table for epoch {epoch} "
-                            "(round inputs changed since it was written)"
+                            f"no usable utility table for epoch {epoch} "
+                            "(stale round inputs, or an empty/torn block "
+                            "log) — evaluating from scratch"
                         )
                 # all ranks split precompute identically (collective
                 # alignment); only rank 0 writes the shared table

@@ -417,11 +417,19 @@ def checkpointed_game(
                 _consolidate()
                 pending_entries.clear()
                 return
+        # threshold check BEFORE appending: the entries are already in
+        # game.utility, so when this block tips the scale the consolidated
+        # npz captures it directly — appending first would write one
+        # O(block) record only for _consolidate to delete it
+        if state["log_entries"] + len(pending_entries) >= max(
+            64, len(game.utility) // 2
+        ):
+            _consolidate()
+            pending_entries.clear()
+            return
         append_utility_log(path, pending_entries, fingerprint=fingerprint)
         state["log_entries"] += len(pending_entries)
         pending_entries.clear()
-        if state["log_entries"] >= max(64, len(game.utility) // 2):
-            _consolidate()
 
     def flush_table():
         """Consolidate into one self-contained npz (round end: completed
