@@ -103,6 +103,19 @@ def fingerprint_inputs(*trees, extra=None) -> str:
     return h.hexdigest()
 
 
+def _strided_samples_impl(leaves, sample_bytes: int):
+    out = []
+    for leaf in leaves:
+        flat = leaf.reshape(-1)
+        n_elem = max(1, sample_bytes // max(1, leaf.dtype.itemsize))
+        step = max(1, flat.shape[0] // n_elem)
+        out.append(flat[::step])
+    return tuple(out)
+
+
+_strided_samples_jit = None  # jitted lazily: keep module import jax-light
+
+
 def overlay_digest(
     overlay: PyTree, max_leaves: int = 4, sample_bytes: int = 2048
 ) -> str:
@@ -132,12 +145,25 @@ def overlay_digest(
     # arithmetic (the per-sample f64 sum) happens on the HOST so numpy and
     # device overlays of the same values digest identically (device
     # reduction order differs bitwise from numpy's)
-    samples = []
-    for leaf in leaves:
+    def _sample(leaf):
         flat = leaf.reshape(-1)
         n_elem = max(1, sample_bytes // max(1, leaf.dtype.itemsize))
         step = max(1, flat.shape[0] // n_elem)
-        samples.append(flat[::step])
+        return flat[::step]
+
+    if all(isinstance(l, jax.Array) for l in leaves):
+        # one compiled program for all leaves: the eager reshape+slice pair
+        # per leaf is 2×max_leaves tunnel dispatches at 3.5–20 ms each —
+        # count DISPATCHES and TRANSFERS (BENCH_NOTES). Shapes are static,
+        # the serve loop passes the same tree every round → cached compile.
+        global _strided_samples_jit
+        if _strided_samples_jit is None:
+            _strided_samples_jit = jax.jit(
+                _strided_samples_impl, static_argnums=1
+            )
+        samples = _strided_samples_jit(tuple(leaves), sample_bytes)
+    else:
+        samples = [_sample(leaf) for leaf in leaves]  # host numpy: free
     fetched = jax.device_get(samples)
     h = hashlib.blake2b(digest_size=16)
     for leaf, a in zip(leaves, fetched):
