@@ -325,6 +325,41 @@ def test_serve_survives_all_corrupt_round(cfg):
     assert records[0]["epoch"] == 1
 
 
+def test_serve_survives_hostile_pickle_client(cfg):
+    """A client uploading a checkpoint whose pickle carries an execution
+    payload must be rejected at parse time (restricted reader) and treated
+    as a straggler — the round completes on the honest clients and the
+    payload NEVER runs. The reference's torch.load(weights_only=False)
+    would have executed it in the server process."""
+    import importlib
+    import zipfile
+
+    start_mod = importlib.import_module("shapley_vit_tpu.driver.start")
+    spec, base, init_lora = start_mod.build_model(cfg)
+    write_epoch(cfg, spec, init_lora, epoch=0, clients=3)
+
+    marker = os.path.join(cfg.paths.local_model_path, "pwned")
+    cmd = f"touch {marker}"
+    payload = (
+        b"\x80\x02cos\nsystem\n"
+        + b"X" + len(cmd.encode()).to_bytes(4, "little") + cmd.encode()
+        + b"\x85R."
+    )
+    evil = os.path.join(
+        cfg.paths.local_model_path, "client_2_model", "ViT_epoch_0.pth.tar"
+    )
+    with zipfile.ZipFile(evil, "w") as zf:  # overwrite client 2's upload
+        zf.writestr("evil/data.pkl", payload)
+        zf.writestr("evil/version", b"3\n")
+
+    records = serve(cfg, max_rounds=1, timeout=30.0, policy="fail")
+    assert len(records) == 1 and len(records[0]["shapley"]) == 2
+    assert not os.path.exists(marker), "hostile pickle was executed"
+    # the hostile client was valued as an absentee, honest clients weren't
+    sv_acc = records[0]["shapley"][0]
+    assert set(sv_acc.keys()) == {0, 1, 2}
+
+
 def test_serve_adaptive_budget(cfg):
     """cfg.shapley.target_se switches the service to the adaptive-budget
     estimator (sample until SE target met, bounded by samples_per_client)."""
