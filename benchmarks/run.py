@@ -86,7 +86,8 @@ def _make_synthetic_deltas(root, n: int, seed: int):
 
 
 def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 0,
-               eval_mode: str = "overlay", clients: "int | None" = None) -> dict:
+               eval_mode: str = "overlay", clients: "int | None" = None,
+               families: str = "core") -> dict:
     import jax
 
     # persistent executable cache: MC estimators submit several coalition-
@@ -122,7 +123,7 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
         return _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed)
     if cfg["estimator"] == "large_n":
         return _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed,
-                                   val_size)
+                                   val_size, families=families)
     # full_delta: deltas over the WHOLE base tree (the reference's complete
     # state-dict aggregation, utils.py:735-749) instead of the LoRA overlay
     delta_root = base if cfg.get("full_delta") else lora0
@@ -315,7 +316,8 @@ def run_config(idx: int, val_size: int, batch: "int | None" = None, seed: int = 
     }
 
 
-def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size) -> dict:
+def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size,
+                        families: str = "core") -> dict:
     """n=32-client frontier: comp-contrib (fixed m=50n AND adaptive) +
     permutation-MC over chunked LoRA-overlay eval with persistence on,
     reporting the TPU-eval vs host-scoring wall split (host share must stay
@@ -426,6 +428,11 @@ def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size) -
         evals_per_s=round(g.num_evaluations / wall, 3),
     )
 
+    if families == "full":
+        runs.update(
+            _run_large_n_families(fresh_game, eval_time, n, seed)
+        )
+
     return {
         "config": idx,
         "model": f"ViT-{cfg['variant']}/{spec.patch}",
@@ -441,6 +448,91 @@ def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size) -
         "coalition_evals_per_s": runs["cc_fixed_m50n"]["evals_per_s"],
         "host_share_pct": runs["cc_fixed_m50n"]["host_share_pct"],
     }
+
+
+def _run_large_n_families(fresh_game, eval_time, n, seed) -> dict:
+    """Remaining estimator families at large n (round-4 VERDICT weak #1:
+    GTG/Fed-SV/Owen/KernelSHAP had never run above n=16). Budgets are sized
+    to ~1-3k coalition evals per family — enough to measure steady evals/s
+    and the host-scoring share, which is the scaling question. Convergence-
+    driven estimators (GTG, Fed-SV) carry a hard draw cap so a slow-
+    converging synthetic game cannot stall the suite."""
+    from shapley_vit_tpu.shapley.compared_methods import Fed_SV, GTG
+    from shapley_vit_tpu.shapley.estimators import (
+        banzhaf_value,
+        shapley_beta,
+        shapley_kernel,
+        shapley_owen,
+    )
+
+    out = {}
+
+    def timed(tag, fn, game):
+        eval_time["s"] = 0.0
+        t0 = time.time()
+        extra = fn(game) or {}
+        wall = time.time() - t0
+        out[tag] = dict(
+            evals=game.num_evaluations, wall_s=round(wall, 2),
+            tpu_eval_s=round(eval_time["s"], 2),
+            host_share_pct=round(100 * (wall - eval_time["s"]) / max(wall, 1e-9), 2),
+            evals_per_s=round(game.num_evaluations / max(wall, 1e-9), 3),
+            **extra,
+        )
+        print(f"  large-n family {tag}: {json.dumps(out[tag])}", flush=True)
+
+    def run_gtg(game):
+        gtg = GTG(utility_index=0, rng=np.random.default_rng(seed + 102))
+        cap = 4 * n  # permutations (the convergence gate usually stops at ~n)
+        orig = gtg.isnotconverge
+        gtg.isnotconverge = lambda k: k < cap and orig(k)
+        sv, se = gtg.compute_shapley_value(game, 0, return_se=True)
+        return dict(perms=len(gtg.Contribution_records),
+                    max_se=round(max(se.values()), 5))
+
+    def run_fed_sv(game):
+        fsv = Fed_SV(utility_index=0, rng=np.random.default_rng(seed + 103))
+        cap = 1600  # draws
+        orig = fsv.isnotconverge_Group
+        fsv.isnotconverge_Group = (
+            lambda last, UD, k=None: (k or 0) < cap and orig(last, UD, k=k)
+        )
+        sv, se = fsv.compute_shapley_value(game, 0, return_se=True, n_boot=30)
+        return dict(max_se=round(max(se.values()), 5))
+
+    def run_owen(game):
+        _sv, se = shapley_owen(
+            game, q_num=8, m_per_q=3, rng=np.random.default_rng(seed + 104),
+            return_se=True,
+        )
+        return dict(max_se=round(max(max(d.values()) for d in se), 5))
+
+    def run_kernel(game):
+        _sv, se = shapley_kernel(
+            game, m=50 * n, rng=np.random.default_rng(seed + 105),
+            return_se=True,
+        )
+        return dict(max_se=round(max(max(d.values()) for d in se), 5))
+
+    def run_beta(game):
+        _sv, se = shapley_beta(
+            game, alpha=1.0, beta=4.0, m=16,
+            rng=np.random.default_rng(seed + 106), return_se=True,
+        )
+        return dict(max_se=round(max(max(d.values()) for d in se), 5))
+
+    def run_banzhaf(game):
+        _sv, se = banzhaf_value(
+            game, m=16, rng=np.random.default_rng(seed + 107), return_se=True,
+        )
+        return dict(max_se=round(max(max(d.values()) for d in se), 5))
+
+    for tag, fn in [
+        ("gtg", run_gtg), ("fed_sv", run_fed_sv), ("owen", run_owen),
+        ("kernel", run_kernel), ("beta_1_4", run_beta), ("banzhaf", run_banzhaf),
+    ]:
+        timed(tag, fn, fresh_game(tag))
+    return out
 
 
 def _run_train_config(idx, cfg, spec, base, lora0, n, batch, seed) -> dict:
@@ -509,13 +601,15 @@ def main():
     p.add_argument("--eval-mode", choices=("overlay", "merged"), default="overlay")
     # client-count override (config 8's n∈{8,16,32} sweep)
     p.add_argument("--clients", type=int, default=None)
+    # config 8: "full" adds GTG/Fed-SV/Owen/KernelSHAP/Beta/Banzhaf rows
+    p.add_argument("--families", choices=("core", "full"), default="core")
     args = p.parse_args()
 
     configs = sorted(CONFIGS) if args.all else [args.config]
     results = []
     for idx in configs:
         res = run_config(idx, args.val_size, args.batch, eval_mode=args.eval_mode,
-                         clients=args.clients)
+                         clients=args.clients, families=args.families)
         print(json.dumps(res))
         results.append(res)
     if args.out:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import copy
 import time
+from collections import deque
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -148,7 +149,9 @@ class Fed_SV(ShapleyValue):
             out.append(tuple(int(x) for x in np.sort(S, kind="mergesort")))
         return out
 
-    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+    def compute_shapley_value(
+        self, game: Game, t: int, return_se: bool = False, n_boot: int = 50
+    ):
         idxs = list(range(game._n_all))
         N = len(idxs)
         util = {}
@@ -157,7 +160,12 @@ class Fed_SV(ShapleyValue):
         S_all = tuple(idxs)
         util[S_all] = game.eval_utility(S_all)[self.utility_index]
 
-        last_uds: List[np.ndarray] = []
+        # convergence only ever reads the last ``last_k`` snapshots
+        # (isnotconverge_Group) — the reference appends an UNBOUNDED list of
+        # N×N copies (~82 MB at n=64/k=5000, compared_methods.py:~170); a
+        # maxlen deque keeps the identical check at O(last_k·N²) memory.
+        # The draw count (the reference's len(last_uds)) rides in ``k``.
+        last_uds: deque = deque(maxlen=self.last_k + 1)
         Z = 2 * sum(1 / n for n in range(1, N))
         UD = np.zeros([N, N], dtype=np.float32)
         p = np.array([N / (i * (N - i) * Z) for i in range(1, N)])
@@ -167,8 +175,14 @@ class Fed_SV(ShapleyValue):
             self._pending = []  # stale draws from a different client count
             self._pending_n = N
 
+        # per-draw (membership, utility) records: UD is a deterministic
+        # function of their running mean (see _bootstrap_se), so these are
+        # all the state the bootstrap needs
+        draw_mems: List[np.ndarray] = []
+        draw_us: List[float] = []
+
         k = 0
-        while self.isnotconverge_Group(last_uds, UD) or k < self.CONVERGE_MIN_K:
+        while self.isnotconverge_Group(last_uds, UD, k=k) or k < self.CONVERGE_MIN_K:
             if not self._pending:
                 # the while-condition guarantees at least CONVERGE_MIN_K
                 # iterations, so the first block can be that large; later
@@ -196,6 +210,8 @@ class Fed_SV(ShapleyValue):
             mem[list(S)] = 1.0
             UD += (mem[:, None] - mem[None, :]) * (u_S * Z / k)
             last_uds.append(UD.copy())
+            draw_mems.append(mem)
+            draw_us.append(float(u_S))
 
         u_N = util[S_all]
         st = time.time()
@@ -204,10 +220,48 @@ class Fed_SV(ShapleyValue):
 
         self.Ut[t] = copy.deepcopy(util)
         self.SV_t[t] = {cid: float(v) for cid, v in enumerate(sv)}
+        if return_se:
+            se = self._bootstrap_se(
+                N, u_N, np.asarray(draw_mems), np.asarray(draw_us), Z,
+                n_boot=n_boot,
+            )
+            self.SE_t = getattr(self, "SE_t", {})
+            self.SE_t[t] = {cid: float(v) for cid, v in enumerate(se)}
+            return self.SV_t[t], self.SE_t[t]
         return self.SV_t[t]
 
-    def isnotconverge_Group(self, last_uds, UD) -> bool:
-        if len(last_uds) <= self.CONVERGE_MIN_K:
+    def _bootstrap_se(
+        self, N: int, u_N: float, M: np.ndarray, u: np.ndarray, Z: float,
+        n_boot: int = 50,
+    ) -> np.ndarray:
+        """Bootstrap-over-draws standard error (beyond reference — the
+        reference returns point estimates only, compared_methods.py:106-243).
+
+        UD is a deterministic function of the per-client running mean
+        a_i = mean_t(mem_i^t · u_t): by induction over the rank-1 updates,
+        UD_ij = Z·(a_i − a_j). Resampling the k draws with replacement,
+        rebuilding UD* from a*, and re-solving the LP propagates the group-
+        testing sampling noise through the feasibility solve — the only
+        uncertainty source (coalition utilities themselves are deterministic
+        evaluations). u_N is NOT resampled (it is an exact evaluation, not a
+        sampled quantity). Each replicate costs one ~N-variable LP (ms)."""
+        if len(u) < 2:
+            return np.zeros(N)
+        boot_rng = np.random.default_rng(self.rng.integers(2**63))
+        xs = []
+        for _ in range(n_boot):
+            idx = boot_rng.integers(0, len(u), size=len(u))
+            a = (M[idx] * u[idx, None]).mean(axis=0) * Z
+            UD_b = (a[:, None] - a[None, :]).astype(np.float32)
+            xs.append(self.solve_feasible(N, u_N, UD_b))
+        return np.std(np.asarray(xs), axis=0, ddof=1)
+
+    def isnotconverge_Group(self, last_uds, UD, k: Optional[int] = None) -> bool:
+        # ``k`` is the total draw count; with the bounded deque len(last_uds)
+        # caps at last_k+1, so the reference's len()-based MIN_K gate
+        # (compared_methods.py:~130) rides on the counter instead
+        n_draws = len(last_uds) if k is None else k
+        if n_draws <= self.CONVERGE_MIN_K or len(last_uds) < self.last_k:
             return True
         for i in range(-self.last_k, 0):
             delta = np.sum(np.abs(UD - last_uds[i])) / len(UD[0])
@@ -294,11 +348,21 @@ class GTG(ShapleyValue):
         # where per-call latency dominates.
         self.batch_prefixes = batch_prefixes
 
-    def compute_shapley_value(self, game: Game, t: int) -> Dict[int, float]:
+    def compute_shapley_value(
+        self, game: Game, t: int, return_se: bool = False
+    ):
         idxs = list(game.selected_clients)
         N_all = game._n_all
         N = len(idxs)
         self.Contribution_records = []
+        # incremental convergence state: running sum of the records plus the
+        # trailing ``last_k`` running means. The reference's isnotconverge
+        # recomputes the FULL cumsum over all records per check
+        # (compared_methods.py:~330) — O(k²·N) total; the accumulator makes
+        # each check O(last_k·N)
+        self._run_sum = np.zeros(N_all)
+        self._run_sumsq = np.zeros(N_all)
+        self._mean_history: deque = deque(maxlen=self.last_k)
 
         util = {}
         S_0 = ()
@@ -309,6 +373,10 @@ class GTG(ShapleyValue):
         # round truncation (compared_methods.py:284-286)
         if abs(util[S_all] - util[S_0]) <= self.round_trunc_threshold:
             self.SV_t[t] = {idx: 0.0 for idx in range(N_all)}
+            if return_se:
+                self.SE_t = getattr(self, "SE_t", {})
+                self.SE_t[t] = {idx: 0.0 for idx in range(N_all)}
+                return self.SV_t[t], self.SE_t[t]
             return self.SV_t[t]
 
         k = 0
@@ -366,25 +434,51 @@ class GTG(ShapleyValue):
                         v[j] = v[j - 1]
                     util[C] = v[j]
                     marginal_contribution_k[int(idxs_k[j - 1])] = v[j] - v[j - 1]
-                self.Contribution_records.append(
-                    [marginal_contribution_k[i] for i in range(N_all)]
+                rec = [marginal_contribution_k[i] for i in range(N_all)]
+                self.Contribution_records.append(rec)
+                rec_arr = np.asarray(rec)
+                self._run_sum += rec_arr
+                self._run_sumsq += rec_arr * rec_arr
+                self._mean_history.append(
+                    self._run_sum / len(self.Contribution_records)
                 )
 
-        shapley_value_arr = (
-            np.cumsum(self.Contribution_records, 0)
-            / np.arange(1, len(self.Contribution_records) + 1).reshape(-1, 1)
-        )[-1:].tolist()[0]
+        n_rec = len(self.Contribution_records)
+        shapley_value_arr = (self._run_sum / n_rec).tolist()
         self.SV_t[t] = {key: sv for key, sv in enumerate(shapley_value_arr)}
         self.Ut[t] = copy.deepcopy(util)
+        if return_se:
+            # analytic SE of the MC mean over per-permutation marginal
+            # contributions (beyond reference: point estimates only).
+            # Records are drawn in blocks of N permutations — one starting
+            # with each client — but each client's OWN marginal stream is
+            # iid across permutations, so std/√k applies per client.
+            var = np.maximum(
+                (self._run_sumsq - self._run_sum**2 / n_rec) / max(n_rec - 1, 1),
+                0.0,
+            )
+            se = np.sqrt(var / n_rec)
+            self.SE_t = getattr(self, "SE_t", {})
+            self.SE_t[t] = {key: float(v) for key, v in enumerate(se)}
+            return self.SV_t[t], self.SE_t[t]
         return self.SV_t[t]
 
     def isnotconverge(self, k: int) -> bool:
         if k <= self.CONVERGE_MIN_K:
             return True
-        all_vals = (
-            np.cumsum(self.Contribution_records, 0)
-            / np.arange(1, len(self.Contribution_records) + 1).reshape(-1, 1)
-        )[-self.last_k :]
+        hist = getattr(self, "_mean_history", None)
+        if hist is not None and len(hist) == min(
+            self.last_k, len(self.Contribution_records)
+        ):
+            # incremental path: trailing running means maintained per record
+            all_vals = np.asarray(hist)
+        else:
+            # standalone call with externally-set records (tests): reference
+            # full-cumsum semantics
+            all_vals = (
+                np.cumsum(self.Contribution_records, 0)
+                / np.arange(1, len(self.Contribution_records) + 1).reshape(-1, 1)
+            )[-self.last_k :]
         errors = np.mean(
             np.abs(all_vals[-self.last_k :] - all_vals[-1:])
             / (np.abs(all_vals[-1:]) + 1e-12),

@@ -96,3 +96,27 @@ def test_config8_large_n_micro():
         assert res["persistence"] is True
     finally:
         br.CONFIGS[8] = orig
+
+
+@pytest.mark.slow
+def test_config8_full_families_micro():
+    """--families full adds the remaining estimator families (round-4
+    VERDICT weak #1) — every row completes with persistence on and reports
+    the wall split + an SE."""
+    from benchmarks import run as br
+
+    orig = dict(br.CONFIGS[8])
+    br.CONFIGS[8].update(dict(variant="micro", image=16, classes=4, clients=5))
+    try:
+        res = br.run_config(8, val_size=16, batch=8, families="full")
+        want = {"cc_fixed_m50n", "cc_adaptive", "mc_10perm",
+                "gtg", "fed_sv", "owen", "kernel", "beta_1_4", "banzhaf"}
+        assert set(res["runs"]) == want
+        for tag in ("gtg", "fed_sv", "owen", "kernel", "beta_1_4", "banzhaf"):
+            r = res["runs"][tag]
+            assert r["evals"] > 0
+            assert r["wall_s"] >= r["tpu_eval_s"] >= 0
+            assert 0 <= r["host_share_pct"] <= 100
+            assert r["max_se"] >= 0
+    finally:
+        br.CONFIGS[8] = orig

@@ -344,3 +344,95 @@ def test_gtg_modes_produce_identical_sv():
                      batch_prefixes=batch)
         svs.append(sv_arr(gtg.compute_shapley_value(game, t=0), 4))
     np.testing.assert_allclose(svs[0], svs[1], atol=1e-12)
+
+
+def test_gtg_incremental_convergence_matches_full_cumsum(additive4):
+    """The O(last_k·N) incremental convergence accumulator must agree with
+    the reference's full-cumsum recompute at every state, and the final SV
+    must equal the running mean of the records."""
+    game, values = additive4
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(3))
+    sv = gtg.compute_shapley_value(game, t=0)
+    recs = np.asarray(gtg.Contribution_records)
+    # final SV == mean of records (what the full cumsum's last row is)
+    np.testing.assert_allclose(
+        sv_arr(sv, 4), recs.mean(axis=0), atol=1e-12
+    )
+    # the trailing running means kept incrementally == recomputed cumsum tail
+    full = np.cumsum(recs, 0) / np.arange(1, len(recs) + 1).reshape(-1, 1)
+    np.testing.assert_allclose(
+        np.asarray(gtg._mean_history), full[-len(gtg._mean_history):],
+        atol=1e-10,
+    )
+    # the convergence decision agrees between the incremental path and the
+    # reference fallback (which runs when _mean_history is absent)
+    want = gtg.isnotconverge(len(recs))
+    del gtg._mean_history
+    assert gtg.isnotconverge(len(recs)) == want
+
+
+def test_gtg_return_se_zero_on_additive(additive4):
+    """On an additive game every permutation's marginal for client i is
+    exactly v_i, so the analytic SE must be ~0; (sv, se) API shape."""
+    game, values = additive4
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    sv, se = gtg.compute_shapley_value(game, t=0, return_se=True)
+    assert set(se) == {0, 1, 2, 3}
+    assert all(v >= 0.0 for v in se.values())
+    # additive ⇒ zero variance across permutations... except where GTG's
+    # truncation freezes a tail (bounded by eps); allow that slack
+    assert max(se.values()) <= gtg.eps
+    assert gtg.SE_t[0] == se
+
+
+def test_gtg_return_se_on_truncated_round():
+    values = np.zeros((3, 2))
+    game = TabularGame(additive_table(values), n_all=3)
+    gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(0))
+    sv, se = gtg.compute_shapley_value(game, t=0, return_se=True)
+    assert all(v == 0.0 for v in sv.values())
+    assert all(v == 0.0 for v in se.values())
+
+
+def test_fed_sv_bootstrap_se(additive4):
+    """Bootstrap-over-draws SE: finite, nonnegative, efficiency preserved on
+    the point estimate, and reproducible under the same rng."""
+    game, values = additive4
+    fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    fsv.CONVERGE_MIN_K = 50
+    sv, se = fsv.compute_shapley_value(game, t=0, return_se=True, n_boot=20)
+    arr = sv_arr(sv, 4)
+    np.testing.assert_allclose(arr.sum(), values[:, 0].sum(), atol=1e-6)
+    se_arr = sv_arr(se, 4)
+    assert np.isfinite(se_arr).all() and (se_arr >= 0).all()
+    # group-testing draws are genuinely noisy -> some spread must register
+    assert se_arr.max() > 0
+    assert fsv.SE_t[0] == se
+
+    fsv2 = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    fsv2.CONVERGE_MIN_K = 50
+    sv2, se2 = fsv2.compute_shapley_value(game, t=0, return_se=True, n_boot=20)
+    assert sv == sv2 and se == se2
+
+
+def test_fed_sv_bounded_convergence_window(additive4):
+    """The UD-snapshot window is a maxlen deque (the reference kept EVERY
+    N×N copy); the MIN_K gate rides on the draw counter instead of len()."""
+    from collections import deque
+
+    game, values = additive4
+    fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(0))
+    UD = np.zeros((4, 4))
+    win = deque(maxlen=fsv.last_k + 1)
+    for _ in range(3):
+        win.append(UD.copy())
+    # below MIN_K by count -> not converged even with identical snapshots
+    assert fsv.isnotconverge_Group(win, UD, k=5)
+    # above MIN_K by count but window not yet filled -> still not converged
+    assert fsv.isnotconverge_Group(win, UD, k=fsv.CONVERGE_MIN_K + 1)
+    for _ in range(fsv.last_k):
+        win.append(UD.copy())
+    # full window of identical snapshots + enough draws -> converged
+    assert not fsv.isnotconverge_Group(win, UD, k=fsv.CONVERGE_MIN_K + 1)
+    # len()-based fallback (no k): reference semantics preserved
+    assert fsv.isnotconverge_Group(win, UD)

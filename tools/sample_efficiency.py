@@ -26,8 +26,34 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from shapley_vit_tpu.shapley import compared_methods as cm  # noqa: E402
 from shapley_vit_tpu.shapley import estimators as est  # noqa: E402
 from shapley_vit_tpu.shapley.game import TabularGame  # noqa: E402
+
+
+def fed_sv_estimand(table, n, utility_index=0):
+    """Fed-SV's OWN estimand: the LP projection of the CONVERGED group-
+    testing UD. The sampling distribution is exactly compute_shapley_value's
+    (length k ~ p, subset uniform given length); a_i = E[mem_i·u] enumerates
+    in closed form, UD∞_ij = Z·(a_i − a_j). Coverage of the bootstrap SE is
+    judged against THIS (Fed-SV is a Shapley approximation — comparing to
+    the exact SV would conflate method bias with sampling error)."""
+    from itertools import combinations as _comb
+
+    g = TabularGame(table, n)
+    Z = 2 * sum(1 / k for k in range(1, n))
+    p = np.array([n / (i * (n - i) * Z) for i in range(1, n)])
+    p = p / p.sum()
+    a = np.zeros(n)
+    for length in range(1, n):
+        w = p[length - 1] / cm.comb(n, length)
+        for S in _comb(range(n), length):
+            u = g.eval_utility(S)[utility_index]
+            for i in S:
+                a[i] += w * u
+    u_N = g.eval_utility(tuple(range(n)))[utility_index]
+    UD = (Z * (a[:, None] - a[None, :])).astype(np.float32)
+    return cm.Fed_SV.solve_feasible(n, float(u_N), UD), float(u_N)
 
 
 def build_table(kind: str, n: int, seed: int):
@@ -166,6 +192,41 @@ def main():
                 cov / tot, 3
             )
             print(f"{kind:10s} {name:14s} 2sigma-coverage={cov / tot:.2f}")
+        # comparison-estimator uncertainty (VERDICT r4 #6): GTG's analytic
+        # SE judged against the exact SV (its estimand up to the eps
+        # truncation); Fed-SV's bootstrap SE judged against its OWN
+        # enumerated estimand (see fed_sv_estimand). Utility dim 0 only —
+        # both estimators value one utility index per instance.
+        ex0 = ex[0]
+        cov = tot = 0
+        for s in range(min(args.seeds, 40)):
+            g = TabularGame(table, n)
+            gtg = cm.GTG(utility_index=0, rng=np.random.default_rng(s))
+            sv, se = gtg.compute_shapley_value(g, 0, return_se=True)
+            a = np.array([sv[i] for i in range(n)])
+            e = np.array([se[i] for i in range(n)])
+            cov += int(np.sum(np.abs(a - ex0) <= 2 * e))
+            tot += n
+        results[kind].setdefault("gtg", {})["se_coverage_2sigma"] = round(
+            cov / tot, 3
+        )
+        print(f"{kind:10s} {'gtg':14s} 2sigma-coverage={cov / tot:.2f}")
+
+        fsv_truth, _u_N = fed_sv_estimand(table, n, utility_index=0)
+        cov = tot = 0
+        for s in range(min(args.seeds, 40)):
+            g = TabularGame(table, n)
+            fsv = cm.Fed_SV(utility_index=0, rng=np.random.default_rng(s))
+            sv, se = fsv.compute_shapley_value(g, 0, return_se=True, n_boot=50)
+            a = np.array([sv[i] for i in range(n)])
+            e = np.array([se[i] for i in range(n)])
+            cov += int(np.sum(np.abs(a - fsv_truth) <= 2 * e))
+            tot += n
+        results[kind].setdefault("fed_sv", {})["se_coverage_2sigma"] = round(
+            cov / tot, 3
+        )
+        print(f"{kind:10s} {'fed_sv':14s} 2sigma-coverage={cov / tot:.2f}")
+
         # adaptive budget: stop at the fixed-budget run's achieved accuracy.
         # Distinct-eval counts ARE the TPU cost (one vmapped validation pass
         # per distinct coalition), so this comparison transfers exactly.
