@@ -135,6 +135,125 @@ def _any_across_ranks(flag: bool) -> bool:
     return _max_across_ranks(1 if flag else 0) > 0
 
 
+class _IngestPrefetcher:
+    """Overlap the NEXT epoch's checkpoint parse + H2D upload with the
+    current round's shapley span (round-4 VERDICT weak #2: at n=32 ingest
+    ~1.0 s + stack_deltas 0.58–1.2 s ran strictly serially before the
+    12.5–14.2 s shapley span — a 19–21% serving tax the reference's serial
+    wait→load→eval loop also pays, start.py:134-222).
+
+    During round e a worker thread polls for epoch e+1's candidate files;
+    once EVERY client has dropped one it digests the files (same
+    digest-BEFORE-read TOCTOU contract as the serial path), parses them
+    into raw LoRA trees — overlay-INDEPENDENT, because round e+1's baseline
+    overlay doesn't exist until round e's advance_global — host-stacks, and
+    uploads the [n, ...] stack in one batched device_put. At consume the
+    loop re-digests the files: on a match, the round's stacked deltas are
+    ONE on-device broadcast subtract (stacked_loras − overlay, bit-identical
+    to the serial path's host fp32 subtract — same IEEE op either way); on
+    ANY mismatch (re-upload between prefetch and wait, partial arrival,
+    different resolved format, parse error) the round falls back to the
+    serial path unchanged. SV values are identical on both paths.
+
+    Thread safety: the worker only touches files + host numpy + one
+    device_put (no collectives), so it cannot desynchronize multi-host
+    ranks; the CONSUME decision is additionally collectively aligned in
+    serve() so every rank takes the same path each round.
+    """
+
+    def __init__(self, spec, log_fn, poll_interval: float = 0.25):
+        import threading
+
+        self._spec = spec
+        self._log = log_fn
+        self._poll = poll_interval
+        self._threading = threading
+        self._lock = threading.Lock()
+        self._result: Optional[Dict] = None
+        self._thread = None
+        self._consume = threading.Event()  # stop POLLING (a taker arrived)
+        self._stop = threading.Event()     # hard stop (serve is exiting)
+
+    def schedule(self, epoch: int, candidates) -> None:
+        """Start prefetching one epoch (cancels any previous in-flight)."""
+        self.cancel()
+        self._consume = self._threading.Event()
+        self._stop = self._threading.Event()
+        with self._lock:
+            self._result = None
+        self._thread = self._threading.Thread(
+            target=self._run,
+            args=(epoch, candidates, self._consume, self._stop),
+            daemon=True,
+            name=f"svt-ingest-prefetch-{epoch}",
+        )
+        self._thread.start()
+
+    def _run(self, epoch, candidates, consume, stop) -> None:
+        import jax
+
+        from shapley_vit_tpu.fl import checkpoint as ckpt
+        from shapley_vit_tpu.models import convert
+        from shapley_vit_tpu.ops import tree_math as tm
+
+        # resolve each client to its first existing candidate (the same
+        # first-candidate-wins rule as wait_for_checkpoints)
+        while not (stop.is_set() or consume.is_set()):
+            paths = [
+                next((p for p in cands if os.path.exists(p)), None)
+                for cands in candidates
+            ]
+            if all(p is not None for p in paths):
+                break
+            stop.wait(self._poll)
+        else:
+            return  # nothing arrived before the taker/stop — serial path
+        try:
+            digest = ckpt.fingerprint_files(paths)
+            loras, sizes = [], []
+            for p in paths:
+                if stop.is_set():
+                    return
+                sd, meta = ingestion._load_raw(p)
+                loras.append(convert.peft_lora_to_tree(sd, self._spec))
+                n_local = meta.get("num_local_data_train")
+                sizes.append(int(n_local) if n_local is not None else None)
+            stacked = jax.device_put(tm.tree_stack_host(loras))
+            # finish the H2D inside the overlap window, not at consume
+            jax.block_until_ready(stacked)
+        except Exception as e:  # corrupt/foreign file, OOM, ... → serial path
+            self._log(f"ingest prefetch for epoch {epoch} aborted: {e}")
+            return
+        with self._lock:
+            self._result = dict(
+                epoch=epoch, paths=list(paths), digest=digest,
+                stacked=stacked, sizes=sizes,
+            )
+
+    def take(self, epoch: int, paths) -> Optional[Dict]:
+        """Claim the prefetched epoch, or None (→ serial path). Joins the
+        worker: if it is mid-parse the join costs what the serial parse
+        would have — never more."""
+        if self._thread is not None:
+            self._consume.set()
+            self._thread.join()
+            self._thread = None
+        with self._lock:
+            r, self._result = self._result, None
+        if r is None or r["epoch"] != epoch or r["paths"] != list(paths):
+            return None
+        return r
+
+    def cancel(self) -> None:
+        if self._thread is not None:
+            self._consume.set()
+            self._stop.set()
+            self._thread.join()
+            self._thread = None
+        with self._lock:
+            self._result = None
+
+
 def serve(
     cfg: Optional[Config] = None,
     max_rounds: Optional[int] = None,
@@ -146,6 +265,7 @@ def serve(
     max_skipped_rounds: Optional[int] = 10,
     prewarm: bool = True,
     max_rss_mb: Optional[float] = None,
+    pipeline_ingest: Optional[bool] = None,
 ) -> "RoundRecords":
     """Run Shapley rounds as checkpoint sets arrive; returns round records.
 
@@ -183,6 +303,11 @@ def serve(
     (persistent compile cache) and resumes mid-round work from the
     fingerprinted utility table. ``start_epoch="auto"`` resumes from the
     persisted cursor (missing file → epoch 0).
+
+    ``pipeline_ingest`` overlaps the next epoch's checkpoint parse + H2D
+    with the current round's shapley span (see ``_IngestPrefetcher``).
+    Default: on (``SVT_PIPELINE_INGEST=0`` disables). Every round records
+    ``pipelined_ingest`` — whether the fast path actually fired.
 
     Graceful drain: ``request_drain()`` (what the CLI's SIGTERM/SIGINT
     handler calls) or touching ``<out_dir>/DRAIN`` stops the service at the
@@ -324,6 +449,12 @@ def serve(
     # host); row-gathering the device-resident stack is one jitted program,
     # so the advance never re-uploads participating deltas
     gather_rows = jax.jit(lambda s, idx: jax.tree.map(lambda x: x[idx], s))
+    # fast-path delta: prefetched raw client stacks minus the round's
+    # baseline overlay, on device (one program; elementwise fp32 subtract is
+    # bit-identical to the serial path's host numpy subtract)
+    sub_overlay = jax.jit(
+        lambda s, o: jax.tree.map(lambda a, b: a - b, s, o)
+    )
     # the overlay advance is ~100 small per-leaf ops; unjitted they cost a
     # dispatch each (~3.5 ms through the tunnel ⇒ measured 1.8 s/round) —
     # one jitted program makes the advance itself negligible
@@ -333,6 +464,16 @@ def serve(
         )
     )
     root = cfg.paths.local_model_path or os.path.join(os.getcwd(), "local_training")
+
+    # pipelined ingest (round-4 VERDICT weak #2): prefetch the next epoch's
+    # checkpoints during the current round's shapley span. Default ON; the
+    # arg or SVT_PIPELINE_INGEST=0 opts out (every miss falls back to the
+    # serial path, so the knob exists for measurement, not safety).
+    if pipeline_ingest is None:
+        pipeline_ingest = os.environ.get("SVT_PIPELINE_INGEST", "1") != "0"
+    prefetcher = (
+        _IngestPrefetcher(spec, logger.info) if pipeline_ingest else None
+    )
 
     if prewarm:
         # compile the dominant round shapes now instead of inside the first
@@ -437,21 +578,45 @@ def serve(
         # corrupt/foreign files must not kill the service: treat them as
         # not-arrived this round (the straggler machinery already handles
         # partial participation)
+        pre = (
+            prefetcher.take(epoch, watch.paths)
+            if prefetcher is not None
+            else None
+        )
+        deltas: Optional[List] = None
         with timer.span("ingest"):
-            if cfg.shapley.persist_utility_table:
-                from shapley_vit_tpu.fl import checkpoint as ckpt
+            from shapley_vit_tpu.fl import checkpoint as ckpt
 
-                # digest the files BEFORE reading them for deltas: if a
-                # client re-uploads between the digest and the read, the
-                # persisted table carries the OLD bytes' digest while its
-                # utilities came from the NEW deltas — on restart the
-                # digest mismatches and the table is REJECTED (wasted
-                # evals, never mixed utilities). Digest-after-read would
-                # invert that into silent corruption (TOCTOU).
+            files_digest = None
+            use_pre = pre is not None and all(watch.arrived)
+            if use_pre:
+                # re-digest at consume: equality with the prefetch-time
+                # digest proves the parsed bytes are the bytes on disk NOW
+                # (a client re-upload between prefetch and wait falls back)
                 files_digest = ckpt.fingerprint_files(watch.paths)
-            deltas, selection, sizes = ingestion.ingest_clients(
-                watch.paths, current_overlay, spec, on_error="skip", log_fn=logger.info
-            )
+                use_pre = files_digest == pre["digest"]
+            if jax.process_count() > 1:
+                # collective alignment: all ranks take the fast path or
+                # none (values are identical either way; aligning the op
+                # sequence keeps the round's device programs uniform)
+                use_pre = not _any_across_ranks(not use_pre)
+            if use_pre:
+                selection = [True] * n
+                sizes = list(pre["sizes"])
+            else:
+                if cfg.shapley.persist_utility_table and files_digest is None:
+                    # digest the files BEFORE reading them for deltas: if a
+                    # client re-uploads between the digest and the read, the
+                    # persisted table carries the OLD bytes' digest while its
+                    # utilities came from the NEW deltas — on restart the
+                    # digest mismatches and the table is REJECTED (wasted
+                    # evals, never mixed utilities). Digest-after-read would
+                    # invert that into silent corruption (TOCTOU).
+                    files_digest = ckpt.fingerprint_files(watch.paths)
+                deltas, selection, sizes = ingestion.ingest_clients(
+                    watch.paths, current_overlay, spec, on_error="skip",
+                    log_fn=logger.info,
+                )
         if not any(selection):
             # a transient shared-disk fault can corrupt a whole epoch's
             # files; a long-running service must outlive ONE bad round, not
@@ -490,19 +655,26 @@ def serve(
         # partial metadata the round uses equal weights (see ingestion)
         num_local_data = ingestion.resolve_data_sizes(sizes, selection, logger.info)
         with timer.span("stack_deltas"):
-            # stack on the HOST, then upload the whole [n, ...] tree in ONE
-            # batched device_put: n_leaves large transfers instead of
-            # n_clients × n_leaves small ones (through the tunnel, transfer
-            # count beats transfer volume — BENCH_NOTES rounds 2 and 4).
-            # Missing clients get host zero rows (any(selection) held above,
-            # so at least one real delta exists to shape them).
-            proto = next(d for d in deltas if d is not None)
-            zeros = jax.tree.map(np.zeros_like, proto)
-            stacked = jax.device_put(
-                tm.tree_stack_host(
-                    [d if d is not None else zeros for d in deltas]
+            if use_pre:
+                # the [n, ...] stack already lives on device (uploaded
+                # during the previous round's shapley span); the round's
+                # deltas are one broadcast subtract vs the CURRENT overlay
+                stacked = sub_overlay(pre["stacked"], current_overlay)
+            else:
+                # stack on the HOST, then upload the whole [n, ...] tree in
+                # ONE batched device_put: n_leaves large transfers instead
+                # of n_clients × n_leaves small ones (through the tunnel,
+                # transfer count beats transfer volume — BENCH_NOTES rounds
+                # 2 and 4). Missing clients get host zero rows
+                # (any(selection) held above, so at least one real delta
+                # exists to shape them).
+                proto = next(d for d in deltas if d is not None)
+                zeros = jax.tree.map(np.zeros_like, proto)
+                stacked = jax.device_put(
+                    tm.tree_stack_host(
+                        [d if d is not None else zeros for d in deltas]
+                    )
                 )
-            )
         start_overlay = current_overlay
 
         def eval_fn(W):
@@ -569,6 +741,18 @@ def serve(
                     game, table_path, fingerprint=fp, block=chunk or 8,
                     save=rank0,
                 )
+        # kick the NEXT epoch's prefetch now: its files typically land while
+        # this round's shapley span (the dominant phase) runs, so the parse
+        # + H2D overlap with compute instead of serializing before round e+1
+        if prefetcher is not None and (
+            max_rounds is None or len(records) + 1 < max_rounds
+        ):
+            prefetcher.schedule(
+                epoch + 1,
+                ingestion.checkpoint_path_candidates(
+                    root, n, filename=epoch_filename.format(epoch=epoch + 1)
+                ),
+            )
         from shapley_vit_tpu.utils.profiling import trace
 
         # --profile captures a jax.profiler trace of the estimator span
@@ -690,6 +874,7 @@ def serve(
                  utility=prev_utility, artifacts=artifacts,
                  evals=game.num_evaluations, wall_s=time.time() - t_round,
                  report_s=time.time() - t_report,
+                 pipelined_ingest=bool(use_pre),
                  phases={k: v.get("total_s") for k, v in timer.summary().items()
                          if v.get("total_s") is not None})
         )
@@ -747,6 +932,9 @@ def serve(
                 )
                 records.stop_reason = "rss_ceiling"
                 break
+    if prefetcher is not None:
+        # stop a still-polling worker (drain/timeout exits leave one alive)
+        prefetcher.cancel()
     if tb is not None:
         tb.close()
     if rank0 and cfg.obs.render_plots and len(records) > 1 \

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--val-size", type=int, default=512)
     ap.add_argument("--clients", type=int, default=3)
     ap.add_argument("--no-quant", action="store_true")
+    # measure the ingest prefetcher's effect (round-5): default follows
+    # serve()'s default (on); --no-pipeline forces the serial path
+    ap.add_argument("--no-pipeline", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,7 @@ def main():
     records = serve(
         cfg, max_rounds=args.rounds, epoch_filename="ViT_epoch_{epoch}.npz",
         timeout=60.0, policy="fail", valid=valid,
+        pipeline_ingest=not args.no_pipeline,
     )
     total = time.time() - t0
     assert len(records) == len(
@@ -152,6 +156,7 @@ def main():
             for i, (w, rep) in enumerate(zip(full_times, report_times))
         ],
         "quant": cfg.model.quant,
+        "pipelined_rounds": [bool(r.get("pipelined_ingest")) for r in records],
         "val_size": args.val_size,
         "artifacts": tmp,
     }))
