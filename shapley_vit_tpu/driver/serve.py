@@ -843,7 +843,7 @@ def serve(
                 report_mod.render_saliency(
                     os.path.join(cfg.obs.sal_image_dir, cfg.obs.exp_id),
                     base, current_overlay, valid.images, spec,
-                    round_idx=epoch,
+                    round_idx=epoch, tb=tb,
                 )
             )
         if rank0 and cfg.obs.render_plots and records:

