@@ -75,6 +75,13 @@ def main():
                     help="override cfg.shapley.samples_per_client (m = s*n): "
                          "lets a large-n soak measure the SERVING tax "
                          "without re-measuring config 8's eval wall")
+    ap.add_argument("--quant", choices=("none", "int8"), default="none",
+                    help="fast-eval quantization in the serve path "
+                         "(merged-int8 carries the trained-weights argmax "
+                         "agreement contract, tools/quant_agreement.py)")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable the round-5 ingest prefetcher (serial "
+                         "ingest baseline)")
     ap.add_argument("--gc-per-round", action="store_true",
                     help="run gc.collect() after every round (attribution: "
                          "does cyclic garbage carry the RSS growth?)")
@@ -124,10 +131,12 @@ def main():
     cfg.shapley.persist_utility_table = not (args.bare or args.no_persist)
     if args.samples_per_client is not None:
         cfg.shapley.samples_per_client = args.samples_per_client
+    cfg.model.quant = args.quant
 
     spec = jvit.make_spec(
         args.variant, num_classes=4,
         dtype=cfg.model.compute_dtype, gelu=cfg.model.gelu,
+        quant=args.quant, quant_targets=jvit.INT8_TARGETS,
     )
     image = spec.image  # keep the staged checkpoints/valid at serve's shape
     init_lora = jvit.init_lora(jax.random.key(1), spec)
@@ -205,6 +214,7 @@ def main():
         timeout=60.0,
         policy="fail",
         valid=valid,
+        pipeline_ingest=not args.no_pipeline,
     )
     total = time.time() - t0
     stop.set()
@@ -243,6 +253,10 @@ def main():
         "live_arrays_first5_last5_slope": trend(per_round_arrays),
         "open_fds_first5_last5_slope": trend(per_round_fds),
         "variant": args.variant,
+        "quant": args.quant,
+        "pipelined_rounds_true": sum(
+            1 for r in records if r.get("pipelined_ingest")
+        ),
         "bare": args.bare,
         "plots": cfg.obs.render_plots,
         "tb": cfg.obs.use_tensorboard,
