@@ -139,7 +139,16 @@ class ModelConfig:
     gelu: str = "exact_f32"
     # matmul quantization: none | int8 (dynamic W8A8 on q/k/v/fc1 — the
     # measured-best target set; +8% eval throughput on v5e with 100%
-    # trained-model argmax agreement, tools/quant_agreement.py)
+    # trained-model argmax agreement, tools/quant_agreement.py).
+    # DEFAULT DECISION (round 5, VERDICT #5): measured IN the production
+    # serve loop at n=32 (tools/serve_soak.py --quant int8) int8 is ~10%
+    # faster per round (shapley span ~13.1 s vs ~14.5 s bf16), but the
+    # default stays "none": int8 perturbs the LOSS-dim utilities beyond
+    # the 1e-4 SV parity bar vs the f32 torch reference (the accuracy dim
+    # is argmax-faithful on trained weights), and reference parity is the
+    # default contract. Opt in for production serving where the SV
+    # consumer cares about ranking/accuracy-dim attribution:
+    # SVT_QUANT=int8 or cfg.model.quant="int8" (BENCH_NOTES round 5).
     quant: str = "none"
     # coalition-eval execution mode: "merged" folds each coalition's LoRA
     # into dense q/v kernels before the forward (bench.py's fastest config;
@@ -260,6 +269,14 @@ class Config:
         cfg.paths.global_model_path = get("GLOBAL_MODEL_PATH")
         cfg.paths.validation_dataset = get("VALIDATION_DATASET")
         cfg.paths.compile_cache_dir = get("SVT_COMPILE_CACHE")
+        # production fast-eval opt-in (see ModelConfig.quant: int8 is ~10%
+        # faster per serve round at n=32, accuracy-dim faithful; default
+        # stays f32/bf16 for reference SV parity)
+        quant = get("SVT_QUANT")
+        if quant:
+            if quant not in ("none", "int8"):
+                raise ValueError(f"SVT_QUANT must be none|int8, got {quant!r}")
+            cfg.model.quant = quant
         return cfg
 
     @classmethod

@@ -138,3 +138,18 @@ def test_console_entry_points_resolve():
     for target in scripts.values():
         mod, fn = target.split(":")
         assert callable(getattr(importlib.import_module(mod), fn))
+
+
+def test_svt_quant_env_opt_in(tmp_path, monkeypatch):
+    """SVT_QUANT=int8 opts the drivers into the serve-path fast-eval mode
+    (round-5 default decision: parity keeps quant='none', the env var is
+    the production switch)."""
+    monkeypatch.delenv("SVT_QUANT", raising=False)
+    assert Config.from_env(str(tmp_path / "none")).model.quant == "none"
+    monkeypatch.setenv("SVT_QUANT", "int8")
+    assert Config.from_env(str(tmp_path / "none")).model.quant == "int8"
+    monkeypatch.setenv("SVT_QUANT", "int4")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Config.from_env(str(tmp_path / "none"))
