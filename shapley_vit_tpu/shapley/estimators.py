@@ -712,8 +712,13 @@ def shapley_kernel(
         return sv1
 
     sizes = np.arange(1, n)
-    kernel_by_size = (n - 1) / (
-        np.array([ncr(n, int(k)) for k in sizes]) * sizes * (n - sizes)
+    # keep the ncr(n,k)·k·(n−k) product in PYTHON ints: as an int64 numpy
+    # array it wraps negative from n=40 (ncr(64,32)≈1.8e18, ×k(n−k)
+    # overflows), which surfaced as "probabilities are not non-negative"
+    # in the n=64 frontier run. Python ints are exact; the final division
+    # is one float per size.
+    kernel_by_size = np.array(
+        [(n - 1) / (ncr(n, int(k)) * int(k) * (n - int(k))) for k in sizes]
     )
 
     if m is None:
@@ -722,7 +727,9 @@ def shapley_kernel(
         subsets = [list(c) for r in sizes for c in combinations(range(n), int(r))]
         weights = np.array([kernel_by_size[len(s) - 1] for s in subsets])
     else:
-        size_p = (kernel_by_size * np.array([ncr(n, int(k)) for k in sizes]))
+        # kernel(k)·ncr(n,k) ∝ 1/(k(n−k)) — the (n−1) and the binomial
+        # cancel, so the sampling distribution never touches big integers
+        size_p = 1.0 / (sizes * (n - sizes))
         size_p = size_p / size_p.sum()
         subsets = []
         for _ in range(m):

@@ -249,6 +249,37 @@ def test_kernel_shap_sampled_and_edges():
         shapley_kernel(TabularGame(additive_table(np.zeros((15, 2))), n_all=15))
 
 
+def test_kernel_shap_large_n_size_distribution():
+    """Regression (round-5 n=64 frontier run): the sampled-mode coalition-
+    size distribution used ncr(n,k)·k·(n−k) in an int64 numpy array, which
+    wraps NEGATIVE from n≈40 (ncr(64,32)≈1.8e18 ×k(n−k) overflows) —
+    rng.choice then raised "probabilities are not non-negative". The
+    distribution simplifies to 1/(k(n−k)) with no big integers; an additive
+    game at n=64 must sample, solve, and stay near the known SV."""
+    from shapley_vit_tpu.shapley import Game, shapley_kernel
+
+    n = 64
+    values = np.random.default_rng(5).normal(0.3, 0.05, (n, 2))
+    # additive_table enumerates the powerset (2^64 entries) — evaluate the
+    # additive utility lazily instead: u(S) = Σ_{i∈S} v_i. W rows are
+    # FedAvg RATIOS (members sum to 1), so membership is W != 0
+    g = Game(
+        eval_coalitions_fn=lambda W: (np.asarray(W) != 0).astype(np.float64)
+        @ values,
+        num_local_data=[1.0] * n,
+        client_selection_vector=[True] * n,
+        previous_utility=[0.0, 0.0],
+        n_all=n,
+    )
+    ks, se = shapley_kernel(
+        g, m=40 * n, rng=np.random.default_rng(1), return_se=True
+    )
+    got = np.array([[ks[d][i] for i in range(n)] for d in range(2)])
+    # additive game: WLS recovers per-client values (sampling noise only)
+    assert np.abs(got - values.T).max() < 0.12
+    assert all(v >= 0 for d in range(2) for v in se[d].values())
+
+
 def test_kernel_shap_rejects_uncovered_clients():
     """Regression: an unsampled client must raise, not silently absorb the
     efficiency residual through the ridge."""
