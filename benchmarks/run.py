@@ -386,53 +386,63 @@ def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size,
     runs = {}
     est_rng = np.random.default_rng(seed + 99)
 
-    g = fresh_game("cc_fixed")
-    eval_time["s"] = 0.0
-    t0 = time.time()
-    sv, se = shapley_comp_contrib(g, m_fixed, rng=est_rng, return_se=True)
-    wall = time.time() - t0
-    max_se = max(max(d.values()) for d in se)
-    runs["cc_fixed_m50n"] = dict(
-        m=m_fixed, evals=g.num_evaluations, wall_s=round(wall, 2),
-        tpu_eval_s=round(eval_time["s"], 2),
-        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
-        evals_per_s=round(g.num_evaluations / wall, 3),
-        max_se=round(float(max_se), 5),
-    )
+    # ``families`` is "core", "full", or a comma-list of family tags (e.g.
+    # "kernel,beta_1_4") to (re-)measure a subset without paying for the
+    # whole sweep — used to finish the n=64 row after the KernelSHAP
+    # int64-overflow fix without re-running the ~40-min core block
+    only = None
+    if families not in ("core", "full"):
+        only = [t.strip() for t in families.split(",") if t.strip()]
 
-    g = fresh_game("cc_adaptive")
-    eval_time["s"] = 0.0
-    t0 = time.time()
-    sv, se, m_used = shapley_comp_contrib_adaptive(
-        g, target_se=float(max_se), rng=np.random.default_rng(seed + 100),
-        stratify="balanced", block=4 * n, max_m=m_fixed,
-    )
-    wall = time.time() - t0
-    runs["cc_adaptive"] = dict(
-        m=m_used, evals=g.num_evaluations, wall_s=round(wall, 2),
-        tpu_eval_s=round(eval_time["s"], 2),
-        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
-        evals_per_s=round(g.num_evaluations / wall, 3),
-        target_se=round(float(max_se), 5),
-    )
-
-    g = fresh_game("mc")
-    eval_time["s"] = 0.0
-    t0 = time.time()
-    shapley_monte_carlo(g, m=10, rng=np.random.default_rng(seed + 101))
-    wall = time.time() - t0
-    runs["mc_10perm"] = dict(
-        evals=g.num_evaluations, wall_s=round(wall, 2),
-        tpu_eval_s=round(eval_time["s"], 2),
-        host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
-        evals_per_s=round(g.num_evaluations / wall, 3),
-    )
-
-    if families == "full":
-        runs.update(
-            _run_large_n_families(fresh_game, eval_time, n, seed)
+    if only is None:
+        g = fresh_game("cc_fixed")
+        eval_time["s"] = 0.0
+        t0 = time.time()
+        sv, se = shapley_comp_contrib(g, m_fixed, rng=est_rng, return_se=True)
+        wall = time.time() - t0
+        max_se = max(max(d.values()) for d in se)
+        runs["cc_fixed_m50n"] = dict(
+            m=m_fixed, evals=g.num_evaluations, wall_s=round(wall, 2),
+            tpu_eval_s=round(eval_time["s"], 2),
+            host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+            evals_per_s=round(g.num_evaluations / wall, 3),
+            max_se=round(float(max_se), 5),
         )
 
+        g = fresh_game("cc_adaptive")
+        eval_time["s"] = 0.0
+        t0 = time.time()
+        sv, se, m_used = shapley_comp_contrib_adaptive(
+            g, target_se=float(max_se), rng=np.random.default_rng(seed + 100),
+            stratify="balanced", block=4 * n, max_m=m_fixed,
+        )
+        wall = time.time() - t0
+        runs["cc_adaptive"] = dict(
+            m=m_used, evals=g.num_evaluations, wall_s=round(wall, 2),
+            tpu_eval_s=round(eval_time["s"], 2),
+            host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+            evals_per_s=round(g.num_evaluations / wall, 3),
+            target_se=round(float(max_se), 5),
+        )
+
+        g = fresh_game("mc")
+        eval_time["s"] = 0.0
+        t0 = time.time()
+        shapley_monte_carlo(g, m=10, rng=np.random.default_rng(seed + 101))
+        wall = time.time() - t0
+        runs["mc_10perm"] = dict(
+            evals=g.num_evaluations, wall_s=round(wall, 2),
+            tpu_eval_s=round(eval_time["s"], 2),
+            host_share_pct=round(100 * (wall - eval_time["s"]) / wall, 2),
+            evals_per_s=round(g.num_evaluations / wall, 3),
+        )
+
+    if families != "core":
+        runs.update(
+            _run_large_n_families(fresh_game, eval_time, n, seed, only=only)
+        )
+
+    headline = runs.get("cc_fixed_m50n") or next(iter(runs.values()))
     return {
         "config": idx,
         "model": f"ViT-{cfg['variant']}/{spec.patch}",
@@ -441,16 +451,18 @@ def _run_large_n_config(idx, cfg, spec, base, lora0, n, batch, seed, val_size,
         "val_size": val_size,
         "coalition_chunk": chunk,
         "persistence": True,
+        "families": families,
         "runs": runs,
         # the headline row: live-path estimator at the live-path budget
-        "wall_clock_s": runs["cc_fixed_m50n"]["wall_s"],
-        "distinct_coalition_evals": runs["cc_fixed_m50n"]["evals"],
-        "coalition_evals_per_s": runs["cc_fixed_m50n"]["evals_per_s"],
-        "host_share_pct": runs["cc_fixed_m50n"]["host_share_pct"],
+        # (first measured family when a subset skipped the core block)
+        "wall_clock_s": headline["wall_s"],
+        "distinct_coalition_evals": headline["evals"],
+        "coalition_evals_per_s": headline["evals_per_s"],
+        "host_share_pct": headline["host_share_pct"],
     }
 
 
-def _run_large_n_families(fresh_game, eval_time, n, seed) -> dict:
+def _run_large_n_families(fresh_game, eval_time, n, seed, only=None) -> dict:
     """Remaining estimator families at large n (round-4 VERDICT weak #1:
     GTG/Fed-SV/Owen/KernelSHAP had never run above n=16). Budgets are sized
     to ~1-3k coalition evals per family — enough to measure steady evals/s
@@ -527,11 +539,18 @@ def _run_large_n_families(fresh_game, eval_time, n, seed) -> dict:
         )
         return dict(max_se=round(max(max(d.values()) for d in se), 5))
 
-    for tag, fn in [
+    all_families = [
         ("gtg", run_gtg), ("fed_sv", run_fed_sv), ("owen", run_owen),
         ("kernel", run_kernel), ("beta_1_4", run_beta), ("banzhaf", run_banzhaf),
-    ]:
-        timed(tag, fn, fresh_game(tag))
+    ]
+    if only is not None:
+        unknown = set(only) - {t for t, _ in all_families}
+        if unknown:
+            raise ValueError(f"unknown family tag(s) {sorted(unknown)}; "
+                             f"valid: {[t for t, _ in all_families]}")
+    for tag, fn in all_families:
+        if only is None or tag in only:
+            timed(tag, fn, fresh_game(tag))
     return out
 
 
@@ -602,7 +621,9 @@ def main():
     # client-count override (config 8's n∈{8,16,32} sweep)
     p.add_argument("--clients", type=int, default=None)
     # config 8: "full" adds GTG/Fed-SV/Owen/KernelSHAP/Beta/Banzhaf rows
-    p.add_argument("--families", choices=("core", "full"), default="core")
+    # "core", "full", or a comma-list of family tags (e.g. "kernel,banzhaf")
+    # to measure a subset without the core block
+    p.add_argument("--families", type=str, default="core")
     args = p.parse_args()
 
     configs = sorted(CONFIGS) if args.all else [args.config]

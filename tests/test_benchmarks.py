@@ -120,3 +120,28 @@ def test_config8_full_families_micro():
             assert r["max_se"] >= 0
     finally:
         br.CONFIGS[8] = orig
+
+
+def test_config8_family_subset():
+    """--families accepts a comma-list of family tags: only those rows run
+    (no core block — added to finish the n=64 row after the KernelSHAP
+    int64-overflow fix without re-paying the core sweep), and unknown tags
+    fail loudly."""
+    import pytest
+
+    from benchmarks import run as br
+
+    orig = dict(br.CONFIGS[8])
+    br.CONFIGS[8].update(dict(variant="micro", image=16, classes=4, clients=5))
+    try:
+        res = br.run_config(8, val_size=16, batch=8, families="kernel,banzhaf")
+        assert set(res["runs"]) == {"kernel", "banzhaf"}
+        assert res["families"] == "kernel,banzhaf"
+        for r in res["runs"].values():
+            assert r["evals"] > 0 and r["max_se"] >= 0
+        # the headline row falls back to the first measured family
+        assert res["coalition_evals_per_s"] == res["runs"]["kernel"]["evals_per_s"]
+        with pytest.raises(ValueError, match="unknown family"):
+            br.run_config(8, val_size=16, batch=8, families="nope")
+    finally:
+        br.CONFIGS[8] = orig
