@@ -28,7 +28,19 @@ algorithms are host math, so the oracle is cheap):
     `MILP_Shapley_prev` + `binary_search`
     (_test_milp_formulation.py:7-161) — same selection matrices, same
     optimum (objective equality; selection equality where the optimum is
-    unique by construction).
+    unique by construction);
+  * the multi-round module's host scorers and selection helpers
+    (utils_fed_shapley.py:29-91, 253-331) — exact match for
+    `compute_shapley_value_from_matrix` / `roundly_mask` /
+    `get_selection_dict` / both `get_optimal_subset*`; the
+    baseline/groundtruth scorers match modulo the reference's documented
+    missing empty-set marginal (its `powerset` excludes ∅,
+    utils_shapley.py:143, so the `u({i}) − u(∅)` term never enters — ours
+    adds it and satisfies efficiency); the per-round scorers
+    (utils_fed_shapley.py:214/227) are executed to prove they raise
+    `NameError` on the undefined `compute_shapley_corrected` the reference
+    never defines — our implementation of the documented intent is
+    cross-checked against the corrected closed form.
 
 Environment shims (the reference code runs UNMODIFIED): `torchvision` and
 `wolframclient` are stubbed (neither is in this image; wolframclient is only
@@ -50,6 +62,7 @@ import pytest
 
 from shapley_vit_tpu.shapley import compared_methods as our_cm
 from shapley_vit_tpu.shapley import estimators as our_est
+from shapley_vit_tpu.shapley import fed_shapley as our_fs
 from shapley_vit_tpu.shapley import milp as our_milp
 from shapley_vit_tpu.shapley.game import TabularGame
 
@@ -437,3 +450,176 @@ def test_milp_prev_and_binary_search_match_reference(ref):
         our_cov = (np.asarray(our_x) @ mat).min()
         assert ref_cov == our_cov
         assert np.asarray(ref_x).sum() == pytest.approx(np.asarray(our_x).sum())
+
+
+# ---------------------------------------------------------------------------
+# multi-round module (utils_fed_shapley) — host scorers + selection helpers
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_fed(ref):
+    """The reference's multi-round module (imports federated_learning.utils
+    → torch/sklearn/matplotlib, all present; torchvision stubbed by `ref`)."""
+    from shapleyserver.fed_client_contribution import utils_fed_shapley as ufs
+
+    return ufs
+
+
+def _utility_dict(n, seed=23):
+    """{sorted tuple: float} over the reference's own (∅-free) enumeration."""
+    rng = np.random.default_rng(seed)
+    return {s: float(rng.normal()) for s in our_est.powerset(range(n))}
+
+
+def test_fed_baseline_scorer_matches_reference_plus_empty_marginal(ref, ref_fed):
+    """compute_shapley_value_baseline (utils_fed_shapley.py:29-41): the
+    reference's inner sum runs over NON-empty subsets only (powerset drops ∅,
+    utils_shapley.py:143), silently omitting every client's
+    `u({i}) − u(∅)` marginal. Ours adds it (u(∅)=0 by the delta-utility
+    convention), so ours == reference + u({i})/N — and ours, not the
+    reference, satisfies efficiency (Σφ = u(grand))."""
+    n = _N
+    ud = _utility_dict(n)
+    args = types.SimpleNamespace(num_clients=n, num_users=n)
+
+    # all clients participate
+    ref_sv = ref_fed.compute_shapley_value_baseline(args, ud, list(range(n)))
+    our_sv = our_fs.compute_shapley_value_baseline(n, ud, list(range(n)))
+    correction = np.array([ud[(i,)] / n for i in range(n)])
+    np.testing.assert_allclose(our_sv, ref_sv + correction, atol=1e-12)
+    np.testing.assert_allclose(our_sv.sum(), ud[tuple(range(n))], atol=1e-12)
+    assert abs(ref_sv.sum() - ud[tuple(range(n))]) > 1e-6  # ref breaks efficiency
+
+    # groundtruth is the same formula over range(num_users)
+    ref_gt = ref_fed.compute_shapley_value_groundtruth(args, ud)
+    np.testing.assert_allclose(ref_gt, ref_sv, atol=1e-12)
+
+    # participating subset: correction applies only to members, scaled 1/|S|
+    idxs = [0, 2, 3]
+    ref_sub = ref_fed.compute_shapley_value_baseline(args, ud, idxs)
+    our_sub = our_fs.compute_shapley_value_baseline(n, ud, idxs)
+    corr = np.zeros(n)
+    for i in idxs:
+        corr[i] = ud[(i,)] / len(idxs)
+    np.testing.assert_allclose(our_sub, ref_sub + corr, atol=1e-12)
+
+
+def test_fed_matrix_sv_matches_reference_own_code(ref, ref_fed):
+    """compute_shapley_value_from_matrix (utils_fed_shapley.py:71-90) —
+    deterministic, exact match (both sides mirror the reference's ∅-free
+    subset walk; ComFedSV's completed matrix carries no empty column)."""
+    T, n = 3, _N
+    all_subsets = ref.us.powerset(range(n))
+    rng = np.random.default_rng(31)
+    mat = rng.normal(size=(T, len(all_subsets)))
+    args = types.SimpleNamespace(epochs=T, num_users=n)
+
+    ref_sv = ref_fed.compute_shapley_value_from_matrix(args, mat, all_subsets)
+    our_sv = our_fs.compute_shapley_value_from_matrix(T, n, mat, all_subsets)
+    np.testing.assert_allclose(our_sv, ref_sv, atol=1e-12)
+
+
+def test_fed_roundly_mask_matches_reference_own_code(ref, ref_fed):
+    """roundly_mask (utils_fed_shapley.py:61-67; identical twin at
+    compared_methods.py:64-70 — ours lives in compared_methods and is
+    re-exported)."""
+    all_subsets = ref.us.powerset(range(_N))
+    for idxs in ([0, 1], [1, 3, 4], list(range(_N))):
+        ref_mask = ref_fed.roundly_mask(idxs, all_subsets)
+        our_mask = our_fs.roundly_mask(idxs, all_subsets)
+        np.testing.assert_array_equal(our_mask, ref_mask)
+
+
+def test_reference_per_round_scorers_are_dead_ours_implement_intent(ref_fed):
+    """The reference's per-round scorers call `compute_shapley_corrected`
+    which is DEFINED NOWHERE in its tree (utils_fed_shapley.py:214/227/239
+    — executing them proves the module is dead code). Ours implements the
+    documented intent; cross-checked against the corrected closed form
+    (the baseline scorer over the participating set)."""
+    n = _N
+    ud = _utility_dict(n, seed=47)
+    args = types.SimpleNamespace(rounds=1, num_clients=n)
+
+    with pytest.raises(NameError):
+        ref_fed.compute_shapley_value_lazy_approach(args, [ud])
+    with pytest.raises(NameError):
+        ref_fed.compute_shapley_value_for_participating_clients(
+            args, [ud], np.ones((1, n)), False
+        )
+
+    per_round = our_fs.compute_shapley_value_lazy_approach(n, [ud])
+    closed = our_fs.compute_shapley_value_baseline(n, ud, list(range(n)))
+    assert len(per_round) == 1
+    for i in range(n):
+        np.testing.assert_allclose(per_round[0][i], closed[i], atol=1e-12)
+
+    # participating-subset path: mask row restricts the formula's support
+    idxs = [1, 2, 4]
+    mask = np.zeros((1, n))
+    mask[0, idxs] = 1
+    sub_ud = {s: u for s, u in ud.items() if set(s) <= set(idxs)}
+    per_round = our_fs.compute_shapley_value_for_participating_clients(
+        1, n, [sub_ud], mask, shapley_non_participating_clients=False
+    )
+    closed = our_fs.compute_shapley_value_baseline(n, sub_ud, idxs)
+    assert set(per_round[0]) == set(idxs)
+    for i in idxs:
+        np.testing.assert_allclose(per_round[0][i], closed[i], atol=1e-12)
+
+
+class _StubClient:
+    """Minimal client surface get_optimal_subset* touches: deepcopy +
+    sync_with_server (utils_fed_shapley.py:271-276)."""
+
+    def __init__(self, cid):
+        self.cid = cid
+        self.synced = False
+
+    def sync_with_server(self, server):
+        self.synced = True
+
+
+def test_get_selection_dict_and_optimal_subset_match_reference(ref_fed):
+    """get_selection_dict (utils_fed_shapley.py:253-259) and
+    get_optimal_subset (262-278; selection core = min-utility key — the
+    loss-delta dims are lower-is-better)."""
+    n = _N
+    assert ref_fed.get_selection_dict(n, [1, 3]) == our_fs.get_selection_dict(
+        n, [1, 3]
+    )
+
+    ud = _utility_dict(n, seed=55)
+    clients = [_StubClient(i) for i in range(n)]
+    server = object()
+    ref_sel, ref_key = ref_fed.get_optimal_subset(server, clients, ud, [0, 1, 2])
+    our_key = our_fs.get_optimal_subset(ud)
+    assert our_key == ref_key
+    assert [c.cid for c in ref_sel] == list(ref_key)
+
+
+def test_get_optimal_subset_multi_objectives_matches_reference(ref_fed):
+    """get_optimal_subset_multi_objectives (utils_fed_shapley.py:281-331):
+    last-round acc/loss dicts, min-max normalized, acc − loss, argmax key.
+    Exercises both the generic branch and the degenerate max==min branch."""
+    n = _N
+    acc = _utility_dict(n, seed=61)
+    loss = _utility_dict(n, seed=62)
+    clients = [_StubClient(i) for i in range(n)]
+    server = object()
+
+    udl = [[acc], [loss]]  # [dim][round]{subset: u} — last round scored
+    ref_sel, ref_key = ref_fed.get_optimal_subset_multi_objectives(
+        server, clients, udl, [0, 1]
+    )
+    our_key = our_fs.get_optimal_subset_multi_objectives(udl)
+    assert our_key == ref_key
+    assert [c.cid for c in ref_sel] == list(ref_key)
+
+    # degenerate acc dim (all equal): both sides take the +1 branch and the
+    # decision falls to the loss dim alone
+    flat_acc = {s: 0.5 for s in acc}
+    udl = [[flat_acc], [loss]]
+    _, ref_key = ref_fed.get_optimal_subset_multi_objectives(
+        server, clients, udl, [0, 1]
+    )
+    assert our_fs.get_optimal_subset_multi_objectives(udl) == ref_key
