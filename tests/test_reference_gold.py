@@ -24,7 +24,14 @@ Two assertions:
    draws via ``np.random.RandomState(None)`` + ``random.randint``
    (utils_shapley.py:277-287), which we pin by monkeypatching
    ``RandomState`` to a fixed seed and seeding ``random``, then replay the
-   identical stream into ``estimators._cc_samples``.
+   identical stream into ``estimators._cc_samples``;
+3. our multi-round lazy reconstruction (``fed_shapley.compute_utilities_lazy``
+   — one [subsets × rounds·clients] weight matrix + ONE batched eval) == the
+   reference's own ``utils_fed_shapley.compute_utilities_lazy``
+   (utils_fed_shapley.py:146-196 — per-subset, per-round
+   ``get_aggregated_model`` + ``model_agg_lazy`` + ``evaluation``) on two
+   rounds of drops with a sit-out client, at both ``include_from_round``
+   settings, within 1e-4.
 
 Environment shims (the reference code is executed UNMODIFIED):
   * ``torchvision`` is stubbed (not in this image; only imported, never
@@ -53,6 +60,7 @@ from shapley_vit_tpu.models import vit as jvit
 from shapley_vit_tpu.ops import tree_math as tm
 from shapley_vit_tpu.shapley import Game as OurGame
 from shapley_vit_tpu.shapley import estimators as our_est
+from shapley_vit_tpu.shapley import fed_shapley as our_fs
 from shapley_vit_tpu.shapley import shapley_exact as our_shapley_exact
 
 torch = pytest.importorskip("torch")
@@ -80,17 +88,20 @@ def ref():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.datasets"] = tv.datasets
         sys.modules["torchvision.transforms"] = tv.transforms
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    for p in (REFERENCE_ROOT, os.path.join(REFERENCE_ROOT, "shapleyserver")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
     if not hasattr(np, "math"):
         np.math = math
     from shapleyserver.fed_client_contribution import game2, utils_shapley
+    from shapleyserver.fed_client_contribution import utils_fed_shapley
     from shapleyserver.federated_learning import client2, server2
     from shapleyserver.federated_learning import utils as ref_utils
 
     return types.SimpleNamespace(
         game2=game2,
         utils_shapley=utils_shapley,
+        utils_fed_shapley=utils_fed_shapley,
         client2=client2,
         server2=server2,
         utils=ref_utils,
@@ -347,3 +358,159 @@ def test_full_start_pipeline_matches_reference_comp_contrib(
     ours = _as_matrix([all_rounds[d][1] for d in range(2)])
     want = _as_matrix(reference_results["cc"])
     np.testing.assert_allclose(ours, want, atol=1e-4)
+
+
+def _write_round_ckpts(s, tmp, participating, seed_base, epoch):
+    """A further round of .pth.tar drops: participating clients perturbed
+    from init with fresh seeds (same file schema as `setup`)."""
+    paths = []
+    for cid in range(3):
+        if cid not in participating:
+            paths.append(None)
+            continue
+        torch.manual_seed(seed_base + cid)
+        client = peft.get_peft_model(
+            __import__("transformers").ViTForImageClassification(
+                s["base_config"]
+            ),
+            s["lcfg"],
+        )
+        client.load_state_dict(s["init_model"].state_dict())
+        with torch.no_grad():
+            for name, p in client.named_parameters():
+                if "lora_" in name or "modules_to_save" in name:
+                    p.add_(torch.randn_like(p) * 0.05)
+        client.eval()
+        path = str(tmp / f"client_{cid + 1}_model" / f"ViT_epoch_{epoch}.pth.tar")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        torch.save(
+            {"state_dict": client.state_dict(),
+             "num_local_data_train": s["sizes"][cid]},
+            path,
+        )
+        paths.append(path)
+    return paths
+
+
+def _ref_delta_from_ckpt(ref, s, path):
+    """The reference's own load → diff-vs-init (start.py:144-164 semantics)."""
+    client_model = peft.get_peft_model(
+        __import__("transformers").ViTForImageClassification(s["base_config"]),
+        s["lcfg"],
+    ).eval()
+    ckpt = torch.load(path, weights_only=False)
+    client_model.load_state_dict(ckpt["state_dict"])
+    return ref.utils.get_difference_between_network_weights(
+        client_model, s["init_model"]
+    )
+
+
+def test_lazy_multi_round_utilities_match_reference_own_code(
+    ref, setup, tmp_path
+):
+    """Multi-round lazy reconstruction: the reference's OWN
+    ``utils_fed_shapley.compute_utilities_lazy`` (utils_fed_shapley.py:146-196
+    — per-subset, per-round ``get_aggregated_model`` + ``model_agg_lazy`` +
+    ``evaluation``) vs ours (one [subsets × rounds·clients] weight matrix +
+    ONE batched eval), on the same two rounds of .pth.tar drops with a
+    non-participating client in round 1. Also covers ``include_from_round``
+    (utils_fed_shapley.py:170-171)."""
+    s = setup
+    ufs = ref.utils_fed_shapley
+
+    # round 0 = the setup fixture's drops (all participate);
+    # round 1 = fresh drops, client 1 sits out
+    round1_paths = _write_round_ckpts(
+        s, tmp_path, participating={0, 2}, seed_base=200, epoch=10
+    )
+    all_paths = [s["ckpts"], round1_paths]
+    sel_matrix = [[True, True, True], [True, False, True]]
+
+    # ---- reference side: its own code, unmodified -------------------------
+    valid_loader = torch.utils.data.DataLoader(
+        _DictValidSet(s["images"], s["labels"]),
+        batch_size=128, shuffle=False, num_workers=0,
+    )
+    prev = list(ref.utils.evaluation({}, s["init_model"], valid_loader))
+    clients = [
+        ref.client2.ClientBase(cid, {}, s["init_model"], list(range(n)))
+        for cid, n in enumerate(s["sizes"])
+    ]
+    server = ref.server2.ServerBase(
+        {}, s["init_model"], clients, None, valid_loader, None
+    )
+    ref_deltas = [
+        [_ref_delta_from_ckpt(ref, s, p) if p else None for p in paths]
+        for paths in all_paths
+    ]
+    all_subsets = ref.utils_shapley.powerset(range(3))
+    args_ns = types.SimpleNamespace(num_clients=3)
+
+    ref_by_start = {}
+    for include_from in (0, 1):
+        ref_utils_arr, ref_dicts = ufs.compute_utilities_lazy(
+            args_ns, prev, ref_deltas, sel_matrix, server, clients,
+            s["init_model"], all_subsets, utility_dim=2, current_round=1,
+            include_from_round=include_from,
+        )
+        ref_by_start[include_from] = (ref_utils_arr, ref_dicts)
+
+    # ---- our side: ingested deltas, weight-matrix collapse ----------------
+    spec, base_tree, init_lora, _valid = _our_ingested_pieces(s)
+    data = [(s["images"], np.asarray(s["labels"]))]
+    prev_ours = ev.evaluate_model(
+        lambda p, x: jvit.vit_forward(p[0], p[1], x, spec),
+        (base_tree, init_lora),
+        data,
+    )
+    np.testing.assert_allclose(prev_ours, prev, atol=2e-5)
+
+    our_deltas_all_rounds = []
+    for paths in all_paths:
+        deltas, selection, sizes = ingestion.ingest_clients(
+            paths, init_lora, spec
+        )
+        our_deltas_all_rounds.append(deltas)
+    zeros = tm.tree_zeros_like(init_lora)
+    flat = [
+        d if d is not None else zeros
+        for round_deltas in our_deltas_all_rounds
+        for d in round_deltas
+    ]
+    stacked = tm.tree_stack(flat)
+    evaluator = ev.make_coalition_evaluator(
+        lambda b, l, x: jvit.vit_forward(b, l, x, spec)
+    )
+
+    def eval_fn(W):
+        return evaluator(
+            base_tree, tm.materialize_coalitions(init_lora, stacked, W), data
+        )
+
+    for include_from in (0, 1):
+        our_utils_arr, our_dicts = our_fs.compute_utilities_lazy(
+            num_clients=3,
+            previous_utility=list(prev_ours),
+            client_deltas_all_rounds=our_deltas_all_rounds,
+            client_selection_matrix=sel_matrix,
+            num_local_data=[float(x) for x in s["sizes"]],
+            eval_coalitions_fn=eval_fn,
+            all_subsets=all_subsets,
+            utility_dim=2,
+            current_round=1,
+            include_from_round=include_from,
+        )
+        ref_utils_arr, ref_dicts = ref_by_start[include_from]
+        for d in range(2):
+            assert set(our_dicts[d]) == set(ref_dicts[d])
+            np.testing.assert_allclose(
+                our_utils_arr[d], ref_utils_arr[d], atol=1e-4
+            )
+            for key in ref_dicts[d]:
+                np.testing.assert_allclose(
+                    our_dicts[d][key], ref_dicts[d][key], atol=1e-4
+                )
+
+    # the two include_from settings must genuinely differ (round 0 carries
+    # signal) — guards against a vacuous pass
+    assert not np.allclose(ref_by_start[0][0][0], ref_by_start[1][0][0], atol=1e-6)
