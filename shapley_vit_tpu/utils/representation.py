@@ -22,22 +22,31 @@ def _centering(K: jax.Array) -> jax.Array:
     n = K.shape[0]
     unit = jnp.ones((n, n), K.dtype) / n
     H = jnp.eye(n, dtype=K.dtype) - unit
-    return H @ K @ H
+    HK = jnp.matmul(H, K, precision="highest")
+    return jnp.matmul(HK, H, precision="highest")
 
 
 def _rbf(X: jax.Array, sigma: Optional[float] = None) -> jax.Array:
-    GX = X @ X.T
+    GX = jnp.matmul(X, X.T, precision="highest")
     KX = jnp.diag(GX)[:, None] - GX
     KX = KX + KX.T
     if sigma is None:
-        nz = jnp.where(KX != 0, KX, jnp.nan)
-        mdist = jnp.nanmedian(nz)
+        # torch.median semantics (utils.py:1153: the LOWER of the two middle
+        # elements for an even count — numpy's averaged midpoint differs at
+        # the 1e-4 CKA level; gold-tested against the reference's own code).
+        # Sort pushes the NaN-masked zeros last; dynamic index is jittable.
+        flat = KX.reshape(-1)
+        nz = jnp.where(flat != 0, flat, jnp.nan)
+        count = jnp.sum(flat != 0)
+        mdist = jnp.sort(nz)[jnp.maximum(count - 1, 0) // 2]
         sigma = jnp.sqrt(mdist)
     return jnp.exp(KX * (-0.5 / (sigma * sigma)))
 
 
 def linear_hsic(X: jax.Array, Y: jax.Array) -> jax.Array:
-    return jnp.sum(_centering(X @ X.T) * _centering(Y @ Y.T))
+    L_X = jnp.matmul(X, X.T, precision="highest")
+    L_Y = jnp.matmul(Y, Y.T, precision="highest")
+    return jnp.sum(_centering(L_X) * _centering(L_Y))
 
 
 def kernel_hsic(X: jax.Array, Y: jax.Array, sigma: Optional[float] = None) -> jax.Array:
@@ -75,14 +84,21 @@ def sliced_wasserstein_distance(
     key: Optional[jax.Array] = None,
     num_projections: int = 50,
     p: int = 2,
+    projections: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Mean SWD between two sample sets (utils.py:1198-1242): project both on
-    random directions, sort per projection, mean |Δ|^p."""
+    random directions, sort per projection, mean |Δ|^p. ``projections``
+    overrides the drawn directions (deterministic replay / the gold oracle
+    mirrors the reference's global-numpy draws through it)."""
     key = key if key is not None else jax.random.key(0)
     dim = distribution_samples.shape[1]
-    proj = rand_projections(key, dim, num_projections)
-    ep = jnp.sort((encoded_samples @ proj.T).T, axis=1)
-    dp = jnp.sort((distribution_samples @ proj.T).T, axis=1)
+    proj = (
+        jnp.asarray(projections)
+        if projections is not None
+        else rand_projections(key, dim, num_projections)
+    )
+    ep = jnp.sort(jnp.matmul(encoded_samples, proj.T, precision="highest").T, axis=1)
+    dp = jnp.sort(jnp.matmul(distribution_samples, proj.T, precision="highest").T, axis=1)
     return jnp.mean(jnp.abs(ep - dp) ** p)
 
 
