@@ -67,9 +67,15 @@ def partition_labeldir(
     distributions: Optional[np.ndarray] = None,
     seed: int = 42,
     min_require_size: int = 10,
+    rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, Dict[int, List[int]]]:
-    """Dirichlet label partition with min-size retry (utils.py:512-557)."""
-    rng = np.random.default_rng(seed)
+    """Dirichlet label partition with min-size retry (utils.py:512-557).
+
+    ``rng`` overrides the seeded generator; a ``np.random.RandomState``
+    works too (only ``shuffle``/``dirichlet`` are drawn) — passing
+    ``RandomState(seed)`` reproduces the reference's global-``np.random``
+    splits index-for-index (gold-tested)."""
+    rng = np.random.default_rng(seed) if rng is None else rng
     targets = np.asarray(targets)
     if distributions is None:
         distributions = rng.dirichlet(np.repeat(beta, n_parties), num_classes)
@@ -99,10 +105,13 @@ def partition_labeldir2(
     distributions: Optional[np.ndarray] = None,
     min_class_size: int = 10,
     seed: int = 42,
+    rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, Dict[int, List[int]]]:
     """Dirichlet partition guaranteeing each split of each class has at least
-    ``min_class_size`` samples where possible (utils.py:559-593)."""
-    rng = np.random.default_rng(seed)
+    ``min_class_size`` samples where possible (utils.py:559-593). ``rng`` as
+    in :func:`partition_labeldir` (the reference never seeds here — it draws
+    from ambient global state, utils.py:559)."""
+    rng = np.random.default_rng(seed) if rng is None else rng
     targets = np.asarray(targets)
     N = targets.shape[0]
     if distributions is None:

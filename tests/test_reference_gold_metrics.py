@@ -19,7 +19,12 @@ Covers `federated_learning/utils.py`'s analysis surface on shared inputs:
     identical directions through our `projections=` injection point (p=2,
     where the reference's signed `pow` equals our `|Δ|^p`);
   * `get_irm_loss` (utils.py:1134-1138) — the reference's exact argument
-    wiring (its second KL term is 0 by construction).
+    wiring (its second KL term is 0 by construction);
+  * the Dirichlet partitioners (utils.py:512-593) — `RandomState` injected
+    as our ``rng`` consumes the reference's global-MT19937 stream
+    identically, so the client splits match INDEX-FOR-INDEX (a reference
+    user's exact partition reproduces here); `record_net_data_stats`
+    (utils.py:646-663) both branches.
 
 Both torch nets and our jax forward share ONE weight matrix, so any metric
 disagreement is a semantics bug, not model noise. torchvision is stubbed as
@@ -262,3 +267,72 @@ def test_irm_loss_matches_reference_own_code(ref):
     ref_loss = ref.get_irm_loss(torch.from_numpy(t), torch.from_numpy(s))
     our_loss = our_rep.get_irm_loss(t, s)
     np.testing.assert_allclose(float(our_loss), float(ref_loss), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet partitioners — index-for-index split reproduction
+# ---------------------------------------------------------------------------
+
+def test_partition_labeldir_matches_reference_own_code(ref):
+    """partition_labeldir (utils.py:512-557): the reference seeds the GLOBAL
+    np.random inside; passing ``RandomState(seed)`` as our ``rng`` consumes
+    the identical MT19937 stream (dirichlet + per-class and per-party
+    shuffles have matching signatures), so the splits match
+    index-for-index — a reference user's exact client partition reproduces."""
+    from shapley_vit_tpu.data import partition as our_part
+
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 10, size=600).astype(np.int64)
+
+    ref_dists, ref_map = ref.partition_labeldir(
+        y, num_classes=10, n_parties=4, beta=0.5, seed=42
+    )
+    our_dists, our_map = our_part.partition_labeldir(
+        y, num_classes=10, n_parties=4, beta=0.5,
+        rng=np.random.RandomState(42),
+    )
+    np.testing.assert_allclose(our_dists, ref_dists, atol=0)
+    assert set(our_map) == set(ref_map)
+    for j in ref_map:
+        assert list(our_map[j]) == list(ref_map[j])
+
+
+def test_partition_labeldir2_matches_reference_own_code(ref):
+    """partition_labeldir2 (utils.py:559-593) draws from AMBIENT global
+    state (never seeds); pin it and hand ours the same-seeded RandomState."""
+    from shapley_vit_tpu.data import partition as our_part
+
+    rng = np.random.default_rng(4)
+    y = rng.integers(0, 6, size=400).astype(np.int64)
+
+    np.random.seed(7)
+    ref_dists, ref_map = ref.partition_labeldir2(
+        y, num_classes=6, n_parties=3, beta=0.8, min_class_size=5
+    )
+    our_dists, our_map = our_part.partition_labeldir2(
+        y, num_classes=6, n_parties=3, beta=0.8, min_class_size=5,
+        rng=np.random.RandomState(7),
+    )
+    np.testing.assert_allclose(our_dists, ref_dists, atol=0)
+    for j in ref_map:
+        assert list(our_map[j]) == list(ref_map[j])
+
+
+def test_record_net_data_stats_matches_reference_own_code(ref):
+    from shapley_vit_tpu.data import partition as our_part
+
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 5, size=120).astype(np.int64)
+    idx_map = {0: list(range(0, 50)), 1: list(range(50, 120))}
+
+    ref_counts = ref.record_net_data_stats(y, idx_map, logger=None)
+    our_counts = our_part.record_net_data_stats(y, idx_map, logger=None)
+    assert set(our_counts) == set(ref_counts)
+    for cid in ref_counts:
+        assert {int(k): int(v) for k, v in ref_counts[cid].items()} == \
+            our_counts[cid]
+
+    # map=None branch: global class histogram (utils.py:658-662)
+    ref_g = ref.record_net_data_stats(y, None, logger=None)
+    our_g = our_part.record_net_data_stats(y, None, logger=None)
+    assert {int(k): int(v) for k, v in ref_g.items()} == our_g
