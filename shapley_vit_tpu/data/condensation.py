@@ -60,6 +60,9 @@ def distance_wb(gwr: jax.Array, gws: jax.Array) -> jax.Array:
     if gwr.ndim == 4:  # flax conv [h, w, in, out] -> (out, rest)
         gwr = jnp.moveaxis(gwr, -1, 0).reshape(gwr.shape[-1], -1)
         gws = jnp.moveaxis(gws, -1, 0).reshape(gws.shape[-1], -1)
+    elif gwr.ndim == 3:  # layernorm [C, h, w] -> (C, h*w) (utils.py:1412-1414)
+        gwr = gwr.reshape(gwr.shape[0], -1)
+        gws = gws.reshape(gws.shape[0], -1)
     elif gwr.ndim == 2:  # linear [in, out] -> rows are outputs in torch; the
         # cosine-per-row distance is orientation-symmetric, keep as-is
         gwr, gws = gwr.T, gws.T

@@ -24,7 +24,10 @@ Covers `federated_learning/utils.py`'s analysis surface on shared inputs:
     as our ``rng`` consumes the reference's global-MT19937 stream
     identically, so the client splits match INDEX-FOR-INDEX (a reference
     user's exact partition reproduces here); `record_net_data_stats`
-    (utils.py:646-663) both branches.
+    (utils.py:646-663) both branches;
+  * `match_loss` / `distance_wb` (utils.py:1407-1460) — all three
+    dis_metric modes on a mixed conv/layernorm/linear/bias gradient list
+    across the torch↔flax layout transposes.
 
 Both torch nets and our jax forward share ONE weight matrix, so any metric
 disagreement is a semantics bug, not model noise. torchvision is stubbed as
@@ -336,3 +339,51 @@ def test_record_net_data_stats_matches_reference_own_code(ref):
     ref_g = ref.record_net_data_stats(y, None, logger=None)
     our_g = our_part.record_net_data_stats(y, None, logger=None)
     assert {int(k): int(v) for k, v in ref_g.items()} == our_g
+
+
+# ---------------------------------------------------------------------------
+# condensation gradient-matching distance
+# ---------------------------------------------------------------------------
+
+def test_match_loss_matches_reference_own_code(ref):
+    """match_loss / distance_wb (utils.py:1407-1460) on a mixed gradient
+    list: conv OIHW↔flax HWIO (row permutation is cosine-invariant),
+    3-D layernorm (reshaped (C, h*w) — the branch the reference hits at
+    utils.py:1412-1414), linear out×in↔in×out, and a 1-D bias (contributes
+    0 under 'ours'). All three dis_metric modes."""
+    from shapley_vit_tpu.data import condensation as our_cond
+
+    rng = np.random.default_rng(33)
+
+    def pair(shape):
+        return (rng.normal(size=shape).astype(np.float32),
+                rng.normal(size=shape).astype(np.float32))
+
+    conv_r, conv_s = pair((6, 3, 3, 3))     # torch OIHW
+    ln_r, ln_s = pair((5, 4, 4))            # 3-D layernorm
+    lin_r, lin_s = pair((7, 12))            # torch out×in
+    b_r, b_s = pair((7,))
+
+    t = lambda a: torch.from_numpy(a)
+    gw_real_t = [t(conv_r), t(ln_r), t(lin_r), t(b_r)]
+    gw_syn_t = [t(conv_s), t(ln_s), t(lin_s), t(b_s)]
+
+    # flax layouts: conv HWIO, linear in×out, same flat concat order
+    gw_real_j = [conv_r.transpose(2, 3, 1, 0), ln_r, lin_r.T, b_r]
+    gw_syn_j = [conv_s.transpose(2, 3, 1, 0), ln_s, lin_s.T, b_s]
+
+    args = types.SimpleNamespace(device="cpu", dis_metric="ours")
+    ref_ours = float(ref.match_loss(gw_syn_t, gw_real_t, args))
+    our_ours = float(our_cond.match_loss(gw_syn_j, gw_real_j, "ours"))
+    np.testing.assert_allclose(our_ours, ref_ours, atol=1e-5)
+
+    # mse/cos flatten-concat: leaf order matches but the within-leaf layout
+    # permutation must not matter for mse (elementwise) — it does change the
+    # per-element pairing, so feed the SAME layouts to both sides here
+    gw_real_same = [conv_r, ln_r, lin_r, b_r]
+    gw_syn_same = [conv_s, ln_s, lin_s, b_s]
+    for metric in ("mse", "cos"):
+        args.dis_metric = metric
+        ref_v = float(ref.match_loss(gw_syn_t, gw_real_t, args))
+        our_v = float(our_cond.match_loss(gw_syn_same, gw_real_same, metric))
+        np.testing.assert_allclose(our_v, ref_v, atol=1e-5)
