@@ -43,15 +43,19 @@ _ACTS = {
 
 
 def _norm_layer(net_norm: str, channels: int, train: bool):
+    # epsilon=1e-5 everywhere: torch's default (flax's 1e-6 drifts outputs
+    # at the 1e-4 level; gold-tested against the reference's own nets)
     if net_norm == "batchnorm":
-        return nn.BatchNorm(use_running_average=not train)
+        return nn.BatchNorm(use_running_average=not train, epsilon=1e-5)
     if net_norm == "layernorm":
         # torch LayerNorm(C,H,W): normalize over all non-batch axes
-        return nn.LayerNorm(reduction_axes=(-3, -2, -1), feature_axes=(-3, -2, -1))
+        return nn.LayerNorm(
+            reduction_axes=(-3, -2, -1), feature_axes=(-3, -2, -1), epsilon=1e-5
+        )
     if net_norm == "instancenorm":
-        return nn.GroupNorm(num_groups=channels)
+        return nn.GroupNorm(num_groups=channels, epsilon=1e-5)
     if net_norm == "groupnorm":
-        return nn.GroupNorm(num_groups=4)
+        return nn.GroupNorm(num_groups=4, epsilon=1e-5)
     raise ValueError(f"unknown net_norm: {net_norm}")
 
 
